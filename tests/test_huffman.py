@@ -1,0 +1,180 @@
+"""Huffman machinery tests: table constants vs RFC/zlib, package-merge
+optimality, canonical code validity, decode-LUT round trips."""
+
+import heapq
+
+import numpy as np
+import pytest
+
+from zlib_rs_tpu.ops import huffman as H
+
+
+def test_length_tables_rfc():
+    # RFC 1951 3.2.5 spot checks
+    assert H.LENGTH_BASE[0] == 3 and H.LENGTH_EXTRA[0] == 0
+    assert H.LENGTH_BASE[8] == 11 and H.LENGTH_EXTRA[8] == 1
+    assert H.LENGTH_BASE[27] == 227 and H.LENGTH_EXTRA[27] == 5
+    assert H.LENGTH_BASE[28] == 258 and H.LENGTH_EXTRA[28] == 0
+    assert len(H.LENGTH_BASE) == 29
+    # every length 3..258 maps into its code's [base, base + 2^extra) range
+    for ln in range(3, 259):
+        c = H.LENGTH_CODE[ln - 3]
+        base, extra = H.LENGTH_BASE[c], H.LENGTH_EXTRA[c]
+        assert base <= ln < base + (1 << extra) or (ln == 258 and c == 28)
+
+
+def test_dist_tables_rfc():
+    assert H.DIST_BASE[0] == 1 and H.DIST_BASE[4] == 5 and H.DIST_EXTRA[4] == 1
+    assert H.DIST_BASE[29] == 24577 and H.DIST_EXTRA[29] == 13
+    assert len(H.DIST_BASE) == 30
+    for dist in [1, 2, 3, 4, 5, 6, 7, 8, 100, 256, 257, 1000, 4096, 32768]:
+        c = int(H.dist_to_code(np.array([dist]))[0])
+        base, extra = H.DIST_BASE[c], H.DIST_EXTRA[c]
+        assert base <= dist < base + (1 << extra)
+
+
+def _huffman_cost_unlimited(freqs):
+    """Classic heap Huffman total cost (no length limit), for comparison."""
+    items = [f for f in freqs if f > 0]
+    if len(items) <= 1:
+        return sum(items)
+    heapq.heapify(items)
+    total = 0
+    while len(items) > 1:
+        a, b = heapq.heappop(items), heapq.heappop(items)
+        total += a + b
+        heapq.heappush(items, a + b)
+    return total
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_package_merge_matches_huffman_when_shallow(seed):
+    rng = np.random.default_rng(seed)
+    freqs = rng.integers(0, 100, size=60)
+    lengths = H.huffman_code_lengths(freqs, 15)
+    # Kraft equality (complete code)
+    used = lengths > 0
+    assert (freqs > 0).sum() < 2 or abs(np.sum(2.0 ** -lengths[used]) - 1.0) < 1e-12
+    # cost optimality: equals unconstrained Huffman when depth <= 15
+    assert H.huffman_cost(freqs, lengths) == _huffman_cost_unlimited(list(freqs))
+    assert lengths.max() <= 15
+    assert np.all((freqs > 0) == used)
+
+
+def test_package_merge_respects_limit():
+    # fibonacci-ish frequencies force deep Huffman trees; limit must hold
+    freqs = np.array([1, 1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377, 610, 987, 1597])
+    for limit in (7, 15):
+        lengths = H.huffman_code_lengths(freqs, limit)
+        assert lengths.max() <= limit
+        used = lengths > 0
+        assert abs(np.sum(2.0 ** -lengths[used]) - 1.0) < 1e-12
+        # limited cost >= unlimited cost
+        assert H.huffman_cost(freqs, lengths) >= _huffman_cost_unlimited(list(freqs))
+
+
+def test_package_merge_edge_cases():
+    assert np.all(H.huffman_code_lengths(np.zeros(10, int), 15) == 0)
+    one = H.huffman_code_lengths(np.array([0, 7, 0]), 15)
+    assert list(one) == [0, 1, 0]
+    two = H.huffman_code_lengths(np.array([1, 0, 99]), 15)
+    assert list(two) == [1, 0, 1]
+
+
+def test_canonical_codes_fixed_tree():
+    # RFC 1951 3.2.6: the fixed literal/length code's canonical values
+    codes, _ = H.canonical_codes(H.FIXED_LITLEN_LENGTHS)
+    assert codes[0] == 0b00110000  # literal 0 -> 8-bit code 0x30
+    assert codes[143] == 0b10111111
+    assert codes[144] == 0b110010000
+    assert codes[256] == 0  # EOB -> 7-bit code 0
+    assert codes[279] == 0b0010111
+    assert codes[280] == 0b11000000
+    assert codes[287] == 0b11000111
+
+
+def test_canonical_codes_prefix_free():
+    rng = np.random.default_rng(42)
+    freqs = rng.integers(0, 1000, size=100)
+    lengths = H.huffman_code_lengths(freqs, 15)
+    codes, _ = H.canonical_codes(lengths)
+    seen = set()
+    for s in np.flatnonzero(lengths):
+        bits = format(int(codes[s]), f"0{int(lengths[s])}b")
+        for p in seen:
+            assert not bits.startswith(p) and not p.startswith(bits)
+        seen.add(bits)
+
+
+def _decode_with_table(table, root, bitstring):
+    """Decode one symbol from an LSB-first bit string using the LUT."""
+    pos = 0
+
+    def peek(nbits):
+        val = 0
+        for i in range(nbits):
+            if pos + i < len(bitstring):
+                val |= int(bitstring[pos + i]) << i
+        return val
+
+    e = table[peek(root)]
+    kind, aux, nbits, payload = H.unpack_entry(e)
+    pos += nbits
+    if kind == H.KIND_SUB:
+        e2 = table[payload + ((peek(aux)) & ((1 << aux) - 1))]
+        kind, aux, nbits, payload = H.unpack_entry(e2)
+        pos += nbits
+    return kind, payload, pos
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_inflate_table_roundtrip(seed):
+    """Encoding a symbol with canonical codes then decoding via the LUT
+    returns the same symbol — including codes longer than root."""
+    rng = np.random.default_rng(seed)
+    # skewed freqs to get a wide range of code lengths
+    freqs = (rng.pareto(0.5, size=80) * 10).astype(np.int64)
+    lengths = H.huffman_code_lengths(freqs, 15)
+    codes, codes_lsb = H.canonical_codes(lengths)
+    table, root, err = H.inflate_table(H.CODES if False else H.LENS, lengths, 9)
+    assert err is None
+    for s in np.flatnonzero(lengths):
+        l = int(lengths[s])
+        # LSB-first bit string of the reversed code
+        bits = [(int(codes_lsb[s]) >> i) & 1 for i in range(l)]
+        bitstring = "".join(map(str, bits)) + "10101"  # trailing noise
+        kind, payload, consumed = _decode_with_table(table, root, bitstring)
+        assert consumed == l
+        if s < 256:
+            assert kind == H.KIND_LITERAL and payload == s
+        elif s == 256:
+            assert kind == H.KIND_EOB
+
+
+def test_inflate_table_oversubscribed():
+    lengths = np.array([1, 1, 1])  # 3 codes of length 1: over-subscribed
+    table, root, err = H.inflate_table(H.CODES, lengths, 7)
+    assert err is not None
+
+
+def test_inflate_table_incomplete():
+    lengths = np.zeros(19, int)
+    lengths[0] = 2  # single length-2 code: incomplete
+    _, _, err = H.inflate_table(H.CODES, lengths, 7)
+    assert err is not None  # CODES: incomplete always an error
+    lengths1 = np.zeros(30, int)
+    lengths1[5] = 1
+    table, root, err = H.inflate_table(H.DISTS, lengths1, 6)
+    assert err is None  # single-code DISTS is allowed
+
+
+def test_fixed_tables_builtin():
+    assert H.FIXED_LITLEN_TABLE is not None and H.FIXED_DIST_TABLE is not None
+    # decode literal 'A' (65): 8-bit code 0x30+65
+    code = 0x30 + 65
+    rev = int(format(code, "08b")[::-1], 2)
+    bits = "".join(str((rev >> i) & 1) for i in range(8))
+    kind, payload, consumed = _decode_with_table(
+        H.FIXED_LITLEN_TABLE, H.FIXED_LITLEN_ROOT, bits + "000000"
+    )
+    assert (kind, payload, consumed) == (H.KIND_LITERAL, 65, 8)
