@@ -1,0 +1,211 @@
+"""Device-side dynamic Huffman construction and chunk encoding.
+
+Counterpart of the reference's per-block tree build + emit
+(zlib-rs/src/deflate.rs:1926-2415) for the TPU chunk-parallel path — but
+vectorized instead of heap-based:
+
+  * code lengths: start at ceil(-log2 p) (clamped to [1,15]) and run a fixed
+    number of Kraft-repair rounds that shorten the highest-frequency symbols
+    at the current deepest level (or lengthen the lowest-frequency ones when
+    over-subscribed) until sum 2^-l == 1 EXACTLY — required because inflate
+    rejects incomplete dynamic codes. Each round is O(n) vector work with no
+    data-dependent shapes; <= 14 shorten + 14 lengthen rounds always suffice
+    because the Kraft deficit is a multiple of the deepest level's step.
+  * canonical code assignment: one-hot histogram + exclusive prefix sums
+    (gen_codes, deflate.rs:2090, as pure array ops), bit-reversed for the
+    LSB-first bitstream.
+  * the chunk body (symbols + EOB) is packed on device with the per-chunk
+    tables; the tiny 5+5+4/HCLEN/RLE header is built on host from the
+    returned length arrays and bit-spliced (parallel/pipeline.py) — the only
+    host work is O(bytes of header) per chunk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import huffman as H
+from . import lz77
+
+MAX_BITS = 15
+_KRAFT_ONE = 1 << MAX_BITS
+
+_LEN_CODE = jnp.asarray(H.LENGTH_CODE.astype(np.int32))
+_LEN_BASE = jnp.asarray(H.LENGTH_BASE.astype(np.int32))
+_LEN_EXTRA = jnp.asarray(H.LENGTH_EXTRA.astype(np.int32))
+_DIST_CODE_LUT = jnp.asarray(H.DIST_CODE.astype(np.int32))
+_DIST_BASE = jnp.asarray(H.DIST_BASE.astype(np.int32))
+_DIST_EXTRA = jnp.asarray(H.DIST_EXTRA.astype(np.int32))
+
+
+def code_lengths_kraft(freqs: jnp.ndarray, max_bits: int = MAX_BITS) -> jnp.ndarray:
+    """Length-limited prefix-code lengths with an exactly-tight Kraft sum.
+
+    freqs: int32[n]. Returns int32[n] lengths (0 for unused symbols). For a
+    single used symbol returns length 1 (incomplete codes with one symbol
+    are legal in DEFLATE dynamic blocks).
+    """
+    n = freqs.shape[0]
+    used = freqs > 0
+    m = jnp.sum(used.astype(jnp.int32))
+    total = jnp.maximum(jnp.sum(freqs), 1)
+
+    # initial ceil(-log2 p): l0 = ceil(log2(total / f))
+    f = jnp.maximum(freqs, 1).astype(jnp.float32)
+    ratio = total.astype(jnp.float32) / f
+    l0 = jnp.ceil(jnp.log2(ratio) - 1e-6).astype(jnp.int32)
+    lens = jnp.where(used, jnp.clip(l0, 1, max_bits), 0)
+
+    # global frequency ranking (descending) for top-k selection inside rounds
+    order_desc = jnp.argsort(-freqs, stable=True)  # symbol ids, freq desc
+    rank_desc = jnp.zeros((n,), jnp.int32).at[order_desc].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    rank_asc = jnp.zeros((n,), jnp.int32).at[order_desc[::-1]].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+
+    def kraft_units(lens):
+        return jnp.sum(jnp.where(used, 1 << (max_bits - lens), 0))
+
+    def round_fn(_, lens):
+        b = _KRAFT_ONE - kraft_units(lens)
+
+        # -- shortening pass (B > 0): deepest level, highest freq first
+        cand_s = used & (lens >= 2)
+        level_s = jnp.max(jnp.where(cand_s, lens, 0))
+        at_level_s = cand_s & (lens == level_s)
+        gain = 1 << (max_bits - jnp.maximum(level_s, 1))
+        want = jnp.where(gain > 0, b // gain, 0)
+        # rank among at_level_s in descending-frequency order
+        sel_rank = jnp.cumsum(at_level_s[order_desc].astype(jnp.int32))
+        take_mask = jnp.zeros((n,), bool).at[order_desc].set(sel_rank <= want)
+        shorten = at_level_s & take_mask & (b > 0) & (level_s >= 2)
+        lens_short = jnp.where(shorten, lens - 1, lens)
+
+        # -- lengthening pass (B < 0): deepest level below max, lowest freq
+        cand_l = used & (lens < max_bits) & (lens >= 1)
+        level_l = jnp.max(jnp.where(cand_l, lens, 0))
+        at_level_l = cand_l & (lens == level_l)
+        gain_l = 1 << jnp.maximum(max_bits - 1 - level_l, 0)
+        want_l = (-b + gain_l - 1) // gain_l
+        sel_rank_l = jnp.cumsum(at_level_l[order_desc[::-1]].astype(jnp.int32))
+        take_mask_l = jnp.zeros((n,), bool).at[order_desc[::-1]].set(sel_rank_l <= want_l)
+        lengthen = at_level_l & take_mask_l & (b < 0) & (level_l >= 1)
+        lens_long = jnp.where(lengthen, lens + 1, lens)
+
+        return jnp.where(b > 0, lens_short, jnp.where(b < 0, lens_long, lens))
+
+    lens = jax.lax.fori_loop(0, 40, round_fn, lens)
+    # single-symbol code: length 1 regardless of the Kraft loop
+    lens = jnp.where(m == 1, jnp.where(used, 1, 0), lens)
+    return lens
+
+
+def canonical_codes_jax(lengths: jnp.ndarray) -> jnp.ndarray:
+    """LSB-first canonical codes from lengths (gen_codes, deflate.rs:2090)."""
+    n = lengths.shape[0]
+    onehot = (
+        lengths[:, None] == jnp.arange(1, MAX_BITS + 1, dtype=jnp.int32)[None, :]
+    ).astype(jnp.int32)
+    bl_count = jnp.sum(onehot, axis=0)  # [15], codes per length 1..15
+    next_code = jnp.zeros((MAX_BITS + 1,), jnp.int32)
+    code = jnp.int32(0)
+    codes_per_len = [jnp.int32(0)] + [bl_count[i] for i in range(MAX_BITS)]
+    nc_list = []
+    for l in range(1, MAX_BITS + 1):
+        code = (code + codes_per_len[l - 1]) * 2 if l > 1 else jnp.int32(0)
+        nc_list.append(code)
+    nc = jnp.stack(nc_list)  # first canonical code of each length 1..15
+    rank = jnp.cumsum(onehot, axis=0) - onehot  # exclusive, per length class
+    li = jnp.clip(lengths - 1, 0, MAX_BITS - 1)
+    msb = nc[li] + rank[jnp.arange(n), li]
+    # bit-reverse the low `lengths` bits
+    v = msb.astype(jnp.uint32)
+    r = jnp.zeros_like(v)
+    for _ in range(16):
+        r = (r << jnp.uint32(1)) | (v & jnp.uint32(1))
+        v = v >> jnp.uint32(1)
+    shift = (16 - jnp.maximum(lengths, 1)).astype(jnp.uint32)
+    lsb = jnp.where(lengths > 0, r >> shift, 0)
+    return lsb.astype(jnp.uint32)
+
+
+def token_symbols(padded_u8, length, dist, tokens):
+    """Per-position (ll_sym, d_sym, len_extra_val/bits, dist_extra_val/bits).
+
+    d_sym is -1 for literals. Shared by freq counting and packing.
+    """
+    n = length.shape[0]
+    byte = padded_u8[:n].astype(jnp.int32)
+    is_match = tokens & (length >= lz77.MIN_MATCH)
+    safe_len = jnp.clip(length, lz77.MIN_MATCH, lz77.MAX_MATCH)
+    lc = _LEN_CODE[safe_len - lz77.MIN_MATCH]
+    ll_sym = jnp.where(is_match, 257 + lc, byte)
+    e1 = jnp.where(is_match, safe_len - _LEN_BASE[lc], 0)
+    eb1 = jnp.where(is_match, _LEN_EXTRA[lc], 0)
+    safe_d = jnp.clip(dist, 1, lz77.MAX_DIST)
+    dm1 = safe_d - 1
+    dc = jnp.where(
+        dm1 < 256, _DIST_CODE_LUT[jnp.minimum(dm1, 255)], _DIST_CODE_LUT[256 + (dm1 >> 7)]
+    )
+    d_sym = jnp.where(is_match, dc, -1)
+    e2 = jnp.where(is_match, safe_d - _DIST_BASE[dc], 0)
+    eb2 = jnp.where(is_match, _DIST_EXTRA[dc], 0)
+    return ll_sym, d_sym, e1, eb1, e2, eb2
+
+
+def encode_chunk_dynamic(padded_u8, n_valid, *, chain_depth=4, max_words=16):
+    """One chunk -> dynamic-Huffman block BODY (symbols + EOB, no header).
+
+    Returns (words u32[W], body_bits i32, ll_lens i32[286], d_lens i32[30]).
+    The host builds the 5+5+4/HCLEN/RLE header from the length arrays and
+    splices it in front (the header is O(100) bits; the body is O(chunk)).
+    """
+    n = padded_u8.shape[0] - lz77.PAD
+    length, dist = lz77.find_matches(
+        padded_u8, n_valid, chain_depth=chain_depth, max_words=max_words
+    )
+    tokens = lz77.greedy_parse(length, n_valid)
+    ll_sym, d_sym, e1, eb1, e2, eb2 = token_symbols(padded_u8, length, dist, tokens)
+
+    live = tokens
+    ll_freq = jnp.zeros((286,), jnp.int32).at[jnp.where(live, ll_sym, 0)].add(
+        live.astype(jnp.int32)
+    )
+    ll_freq = ll_freq.at[256].add(1)  # EOB
+    d_live = live & (d_sym >= 0)
+    d_freq = jnp.zeros((30,), jnp.int32).at[jnp.where(d_live, d_sym, 0)].add(
+        d_live.astype(jnp.int32)
+    )
+
+    ll_lens = code_lengths_kraft(ll_freq)
+    d_lens = code_lengths_kraft(d_freq)
+    ll_codes = canonical_codes_jax(ll_lens)
+    d_codes = canonical_codes_jax(d_lens)
+
+    # fuse per-token bits: llcode+extra+dcode+extra, <= 15+5+15+13 = 48 bits.
+    # That exceeds one u32, so pack as TWO scatter fields per token: the
+    # length side (<=20 bits) and the distance side (<=28 bits).
+    v1 = ll_codes[ll_sym] | (e1.astype(jnp.uint32) << ll_lens[ll_sym].astype(jnp.uint32))
+    n1 = jnp.where(live, ll_lens[ll_sym] + eb1, 0)
+    safe_dsym = jnp.maximum(d_sym, 0)
+    v2 = d_codes[safe_dsym] | (
+        e2.astype(jnp.uint32) << d_lens[safe_dsym].astype(jnp.uint32)
+    )
+    v2 = jnp.where(d_live, v2, 0)
+    n2 = jnp.where(d_live, d_lens[safe_dsym] + eb2, 0)
+
+    # interleave: token i contributes (v1, n1) then (v2, n2)
+    values = jnp.stack([v1, v2], axis=1).reshape(-1)
+    nbits = jnp.stack([n1, n2], axis=1).reshape(-1).astype(jnp.int32)
+    # EOB terminator
+    values = jnp.concatenate([values, ll_codes[256][None]])
+    nbits = jnp.concatenate([nbits, ll_lens[256][None]])
+
+    out_words = (16 * n + 64) // 32 + 4  # worst case ~15.x bits/byte + EOB
+    words, total = lz77.pack_bits(values, nbits, 0, out_words)
+    return words, total, ll_lens, d_lens

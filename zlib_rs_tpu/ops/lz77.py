@@ -1,0 +1,289 @@
+"""TPU-native LZ77 match finding, greedy parsing, and bit packing.
+
+This is the device-side counterpart of the reference's match-finder + block
+emission hot loops (zlib-rs/src/deflate/longest_match.rs, compare256.rs,
+deflate.rs:1148 compress_block_help) — re-architected for a vector machine
+instead of translated:
+
+  * hash chains  -> stable sort by hash: each position's most recent previous
+    occurrence is its sorted neighbor; deeper chain probes are iterated
+    gathers of that "previous occurrence" pointer (bounded depth K);
+  * compare256   -> word-granular equality scan: step s compares the u32 at
+    i+4s with the u32 at cand+4s; a cumulative AND + population count gives
+    the match length, and the first mismatching word's XOR gives the byte
+    tail. Run matches (dist<=1) get exact lengths via a run-length scan so
+    long runs still reach 258 even with a small word cap;
+  * greedy parse -> pointer doubling: nxt[i] = i + step[i]; log2(N) rounds of
+    scatter-max mark exactly the token positions the serial greedy scan
+    would visit;
+  * bit packing  -> per-token (value, nbits) fusion (≤31 bits with static
+    trees), exclusive prefix sum of bit lengths, and carry-free scatter-adds
+    into a u32 word array (token bit ranges are disjoint, so ADD == OR).
+
+Everything is fixed-shape and jittable; chunks are the unit of data
+parallelism (vmap over a batch, shard_map over a mesh — parallel/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import huffman as H
+
+MAX_MATCH = 258
+MIN_MATCH = 3
+MAX_DIST = 32768
+HASH_MULT = np.uint32(2654435761)
+HASH_BITS = 16
+PAD = 272  # tail padding so word reads past n_valid stay in bounds
+
+# -- static-tree encode tables as device constants ---------------------------
+
+_LL_CODE = jnp.asarray(H.STATIC_LITLEN_CODES_LSB.astype(np.uint32))
+_LL_BITS = jnp.asarray(H.FIXED_LITLEN_LENGTHS.astype(np.int32))
+_D_CODE = jnp.asarray(H.STATIC_DIST_CODES_LSB.astype(np.uint32))
+_LEN_CODE = jnp.asarray(H.LENGTH_CODE.astype(np.int32))  # len-3 -> 0..28
+_LEN_BASE = jnp.asarray(H.LENGTH_BASE.astype(np.int32))
+_LEN_EXTRA = jnp.asarray(H.LENGTH_EXTRA.astype(np.int32))
+_DIST_CODE_LUT = jnp.asarray(H.DIST_CODE.astype(np.int32))  # 512-entry zlib LUT
+_DIST_BASE = jnp.asarray(H.DIST_BASE.astype(np.int32))
+_DIST_EXTRA = jnp.asarray(H.DIST_EXTRA.astype(np.int32))
+
+
+def words_le32(padded_u8: jnp.ndarray) -> jnp.ndarray:
+    """u32 little-endian word starting at every byte offset (length n-3)."""
+    b = padded_u8.astype(jnp.uint32)
+    return b[:-3] | (b[1:-2] << 8) | (b[2:-1] << 16) | (b[3:] << 24)
+
+
+def hash4(words: jnp.ndarray) -> jnp.ndarray:
+    """Knuth multiplicative 4-byte hash (reference: hash_calc.rs:30-33)."""
+    return ((words * HASH_MULT) >> jnp.uint32(32 - HASH_BITS)).astype(jnp.int32)
+
+
+def _prev_occurrence(h: jnp.ndarray) -> jnp.ndarray:
+    """prev[i] = largest j < i with h[j] == h[i], else -1.
+
+    Stable argsort groups equal hashes in position order; the left neighbor
+    within a group is exactly the hash-chain predecessor.
+    """
+    n = h.shape[0]
+    order = jnp.argsort(h, stable=True)  # positions, grouped by hash
+    sh = h[order]
+    same = jnp.concatenate([jnp.zeros((1,), bool), sh[1:] == sh[:-1]])
+    prev_sorted = jnp.where(same, jnp.concatenate([order[:1], order[:-1]]), -1)
+    prev = jnp.zeros((n,), jnp.int32).at[order].set(prev_sorted.astype(jnp.int32))
+    return prev
+
+
+def _run_match_lengths(padded_u8: jnp.ndarray, n: int, n_valid) -> jnp.ndarray:
+    """Exact dist-1 match length at every position: number of j >= i with
+    data[j] == data[j-1], capped at MAX_MATCH. Handles long runs that the
+    capped word scan would truncate."""
+    idx = jnp.arange(n, dtype=jnp.int32)
+    eq_prev = jnp.concatenate(
+        [jnp.zeros((1,), bool), padded_u8[1:n] == padded_u8[: n - 1]]
+    )
+    eq_prev = eq_prev & (idx < n_valid)
+    # next position where eq_prev is False, at or after i
+    mism = jnp.where(eq_prev, n, idx)
+    next_mism = lax.cummin(mism[::-1])[::-1]
+    return jnp.minimum(next_mism - idx, MAX_MATCH).astype(jnp.int32)
+
+
+def _candidate_match_len(
+    words: jnp.ndarray, idx: jnp.ndarray, cand: jnp.ndarray, maxcap: jnp.ndarray, max_words: int
+) -> jnp.ndarray:
+    """Match length between positions idx and cand (cand < idx), word scan of
+    up to `max_words` u32 steps + XOR byte tail, capped by `maxcap`."""
+    n = idx.shape[0]
+    safe_c = jnp.maximum(cand, 0)
+    cum = jnp.ones((n,), bool)
+    nwords = jnp.zeros((n,), jnp.int32)
+    for s in range(max_words):
+        a = words[idx + 4 * s]
+        b = words[safe_c + 4 * s]
+        cum = cum & (a == b)
+        nwords = nwords + cum.astype(jnp.int32)
+    # byte tail from the first mismatching word
+    off = 4 * nwords
+    xa = words[idx + off]
+    xb = words[safe_c + off]
+    x = xa ^ xb
+    lowbit = x & (-x).astype(jnp.uint32)
+    tz = jnp.where(x == 0, 32, 31 - lax.clz(lowbit.astype(jnp.int32)))
+    tail = jnp.minimum(tz >> 3, 3).astype(jnp.int32)
+    raw = jnp.minimum(off + tail, 4 * max_words)
+    return jnp.minimum(raw, maxcap)
+
+
+def find_matches(
+    padded_u8: jnp.ndarray,
+    n_valid,
+    *,
+    chain_depth: int = 4,
+    max_words: int = 16,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Best (length, dist) match at every position of one chunk.
+
+    padded_u8: uint8[N + PAD] (zero-padded); n_valid: true chunk length.
+    Returns (length int32[N], dist int32[N]); length < MIN_MATCH => literal.
+    Counterpart of longest_match (deflate/longest_match.rs:7-80) with chain
+    budget `chain_depth` and word-scan cap `max_words` (run matches exact).
+    """
+    n = padded_u8.shape[0] - PAD
+    words = words_le32(padded_u8)
+    h = hash4(words[:n])
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # positions beyond n_valid get a sentinel hash so they never pollute chains
+    h = jnp.where(idx < n_valid, h, (1 << HASH_BITS) + (idx & 0xFF))
+    prev = _prev_occurrence(h)
+
+    maxcap = jnp.clip(n_valid - idx, 0, MAX_MATCH).astype(jnp.int32)
+
+    best_len = jnp.zeros((n,), jnp.int32)
+    best_dist = jnp.zeros((n,), jnp.int32)
+    cand = prev
+    for _ in range(chain_depth):
+        dist = idx - cand
+        ok = (cand >= 0) & (dist >= 1) & (dist <= MAX_DIST)
+        ml = _candidate_match_len(words, idx, cand, maxcap, max_words)
+        ml = jnp.where(ok, ml, 0)
+        better = ml > best_len
+        best_len = jnp.where(better, ml, best_len)
+        best_dist = jnp.where(better, dist, best_dist)
+        cand = prev[jnp.maximum(cand, 0)]
+        cand = jnp.where(ok, cand, -1)
+
+    # exact run matches (dist 1) rescue long runs from the word cap
+    run_len = _run_match_lengths(padded_u8, n, n_valid)
+    run_ok = (idx >= 1) & (run_len >= best_len) & (run_len >= MIN_MATCH)
+    best_dist = jnp.where(run_ok & (run_len > best_len), 1, best_dist)
+    best_len = jnp.where(run_ok, jnp.maximum(run_len, best_len), best_len)
+
+    # acceptance: MIN_MATCH, and zlib's TOO_FAR rule for length-3 matches
+    accept = (best_len >= MIN_MATCH) & ~((best_len == MIN_MATCH) & (best_dist > 4096))
+    best_len = jnp.where(accept, best_len, 0)
+    best_dist = jnp.where(accept, best_dist, 0)
+    return best_len, best_dist
+
+
+def greedy_parse(length: jnp.ndarray, n_valid) -> jnp.ndarray:
+    """Token-start mask via pointer doubling.
+
+    nxt[i] = i + max(length[i], 1); after ceil(log2 N) rounds of
+    (scatter-max visited into nxt, nxt = nxt[nxt]) the visited set equals the
+    serial greedy tokenization's start positions.
+    """
+    n = length.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    step = jnp.maximum(length, 1)
+    nxt = jnp.minimum(idx + step, n).astype(jnp.int32)
+    visited = jnp.zeros((n + 1,), jnp.int32).at[0].set(1)
+    rounds = int(np.ceil(np.log2(max(n, 2)))) + 1
+    for _ in range(rounds):
+        visited = visited.at[nxt].max(visited[:n])
+        nxt = jnp.minimum(nxt[jnp.minimum(nxt, n - 1)], n)
+        nxt = jnp.where(nxt <= idx, n, nxt)  # safety: strictly forward
+    return (visited[:n] > 0) & (idx < n_valid)
+
+
+def token_codes_static(
+    padded_u8: jnp.ndarray,
+    length: jnp.ndarray,
+    dist: jnp.ndarray,
+    tokens: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused (value, nbits) per position under the RFC 1951 static trees.
+
+    Literals are <= 9 bits; matches fuse lenCode+extra+distCode+extra into
+    <= 31 bits (counterpart of the reference's encode_len/encode_dist fusion,
+    deflate.rs:915-961).
+    """
+    n = length.shape[0]
+    byte = padded_u8[:n].astype(jnp.int32)
+    is_match = tokens & (length >= MIN_MATCH)
+
+    lit_v = _LL_CODE[byte]
+    lit_n = _LL_BITS[byte]
+
+    safe_len = jnp.clip(length, MIN_MATCH, MAX_MATCH)
+    lc = _LEN_CODE[safe_len - MIN_MATCH]
+    lsym = 257 + lc
+    v1 = _LL_CODE[lsym]
+    n1 = _LL_BITS[lsym]
+    e1 = (safe_len - _LEN_BASE[lc]).astype(jnp.uint32)
+    eb1 = _LEN_EXTRA[lc]
+
+    safe_d = jnp.clip(dist, 1, MAX_DIST)
+    dm1 = safe_d - 1
+    dc = jnp.where(dm1 < 256, _DIST_CODE_LUT[jnp.minimum(dm1, 255)], _DIST_CODE_LUT[256 + (dm1 >> 7)])
+    v2 = _D_CODE[dc]
+    e2 = (safe_d - _DIST_BASE[dc]).astype(jnp.uint32)
+    eb2 = _DIST_EXTRA[dc]
+
+    sh1 = n1
+    sh2 = sh1 + eb1
+    sh3 = sh2 + 5
+    match_v = v1 | (e1 << sh1) | (v2 << sh2) | (e2 << sh3)
+    match_n = sh3 + eb2
+
+    value = jnp.where(is_match, match_v, lit_v.astype(jnp.uint32))
+    nbits = jnp.where(is_match, match_n, lit_n)
+    nbits = jnp.where(tokens, nbits, 0)
+    value = jnp.where(tokens, value, jnp.uint32(0))
+    return value, nbits.astype(jnp.int32)
+
+
+def pack_bits(value: jnp.ndarray, nbits: jnp.ndarray, header_bits: int, out_words: int):
+    """Scatter (value, nbits) tokens into a u32 word array.
+
+    Bit offsets come from an exclusive prefix sum (+header_bits); each token
+    writes <= 2 words with carry-free adds. Returns (words u32[out_words],
+    total_bits) where total_bits includes the header but not the EOB.
+    """
+    off = header_bits + jnp.cumsum(nbits) - nbits
+    total = header_bits + jnp.sum(nbits)
+    w = (off >> 5).astype(jnp.int32)
+    s = (off & 31).astype(jnp.uint32)
+    # split the (<= 62-bit) shifted value into two u32 halves without u64
+    # (x64 mode is off): lo truncates naturally; hi uses a two-step shift so
+    # s == 0 never produces an undefined >>32.
+    value = value.astype(jnp.uint32)
+    lo = value << s
+    hi = (value >> (jnp.uint32(31) - s)) >> jnp.uint32(1)
+    live = nbits > 0
+    wsafe = jnp.where(live, w, out_words)  # dump slot
+    words = jnp.zeros((out_words + 2,), jnp.uint32)
+    words = words.at[wsafe].add(lo, mode="drop")
+    words = words.at[wsafe + 1].add(hi, mode="drop")
+    return words[:out_words], total
+
+
+def encode_chunk_static(padded_u8: jnp.ndarray, n_valid, final, *, chain_depth=4, max_words=16):
+    """One chunk -> one static-Huffman deflate block (jittable).
+
+    Returns (words u32[W], total_bits i32): the block header (BFINAL=final,
+    BTYPE=01), all token codes, and the implicit zero-code EOB. The caller
+    byte-aligns and stitches chunks (parallel/pipeline.py).
+    """
+    n = padded_u8.shape[0] - PAD
+    length, dist = find_matches(
+        padded_u8, n_valid, chain_depth=chain_depth, max_words=max_words
+    )
+    tokens = greedy_parse(length, n_valid)
+    value, nbits = token_codes_static(padded_u8, length, dist, tokens)
+    # worst case ~9.06 bits/byte with static trees + header + EOB
+    out_words = (9 * n + 64) // 32 + 2
+    final_u32 = jnp.asarray(final, jnp.uint32)
+    header = final_u32 | jnp.uint32(2)  # BFINAL | (BTYPE=01)<<1, LSB-first
+    words, total = pack_bits(value, nbits, 3, out_words)
+    words = words.at[0].add(header)
+    total = total + 7  # EOB: static code 256 is 7 zero bits
+    return words, total

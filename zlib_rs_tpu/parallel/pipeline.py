@@ -1,0 +1,300 @@
+"""Chunk-parallel deflate over a JAX device mesh.
+
+The genuinely new layer the reference leaves to external tools like pigz
+(SURVEY.md section 2e): input is split into fixed-size chunks, every chunk is
+compressed independently on-device (vmap over the batch dimension, shard_map
+over a `jax.sharding.Mesh` for multi-chip), and the host stitches the
+byte-aligned chunk blocks into ONE valid zlib/gzip/raw stream using the same
+seam primitives the reference exposes for this purpose:
+
+  * each chunk ends byte-aligned like a sync flush, so concatenation is pure
+    byte concat (reference flush semantics: deflate.rs:2714-2724);
+  * the final chunk's block carries BFINAL;
+  * per-chunk adler32/crc32 are tree-combined with the reference's combine
+    operators (adler32.rs:58, crc32/combine.rs) — computed batched on device.
+
+Decode parity: every produced stream decodes with any zlib inflater; the
+chunk seams are also decoder restart points for parallel inflate.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import DeflateConfig, Wrap, decode_window_bits_deflate
+from ..models.deflate import BitWriter, _scan_code_lengths
+from ..ops import checksum, dynhuff, lz77
+from ..ops import huffman as H
+
+DEFAULT_CHUNK = 128 * 1024
+
+
+def _dyn_header(ll_lens: np.ndarray, d_lens: np.ndarray, final: bool) -> tuple[bytes, int]:
+    """Build one dynamic block header (BFINAL/BTYPE/HLIT/HDIST/HCLEN + code
+    length RLE) on host from the device-computed length arrays. O(100) bits."""
+    nlen = max(257, int(np.max(np.nonzero(ll_lens)[0])) + 1) if np.any(ll_lens) else 257
+    ndist = int(np.max(np.nonzero(d_lens)[0])) + 1 if np.any(d_lens) else 1
+    rle_ll = _scan_code_lengths(ll_lens[:nlen])
+    rle_d = _scan_code_lengths(d_lens[:ndist])
+    bl_freq = np.zeros(19, np.int64)
+    for sym, _v, _eb in rle_ll + rle_d:
+        bl_freq[sym] += 1
+    bl_lens = H.huffman_code_lengths(bl_freq, 7)
+    _, bl_codes = H.canonical_codes(bl_lens)
+    order = H.CL_ORDER
+    hclen = 19
+    while hclen > 4 and bl_lens[order[hclen - 1]] == 0:
+        hclen -= 1
+    out = bytearray()
+    bw = BitWriter(out)
+    bw.send_bits(1 if final else 0, 1)
+    bw.send_bits(2, 2)
+    bw.send_bits(nlen - 257, 5)
+    bw.send_bits(ndist - 1, 5)
+    bw.send_bits(hclen - 4, 4)
+    for i in range(hclen):
+        bw.send_bits(int(bl_lens[order[i]]), 3)
+    for sym, v, eb in rle_ll + rle_d:
+        bw.send_bits(int(bl_codes[sym]), int(bl_lens[sym]))
+        if eb:
+            bw.send_bits(v, eb)
+    nbits = len(out) * 8 + bw.bitcnt
+    if bw.bitcnt:
+        out.append(bw.bitbuf & 0xFF)
+    return bytes(out), nbits
+
+
+def _splice_bits(header: bytes, hb: int, body_u8: np.ndarray, body_bits: int) -> bytes:
+    """Concatenate two LSB-first bitstreams: header (hb bits) + body."""
+    nbody = (body_bits + 7) // 8
+    body = body_u8[: nbody + 1]  # +1 slack for the shifted tail
+    if body.shape[0] < nbody + 1:
+        body = np.concatenate([body, np.zeros(nbody + 1 - body.shape[0], np.uint8)])
+    r = hb & 7
+    total_bytes = (hb + body_bits + 7) // 8
+    if r == 0:
+        return (header + body[:nbody].tobytes())[:total_bytes]
+    b16 = body.astype(np.uint16)
+    lo = ((b16 << r) & 0xFF).astype(np.uint8)
+    hi = (b16 >> (8 - r)).astype(np.uint8)
+    out = bytearray(header)
+    out[-1] |= int(lo[0])
+    tail = hi[:-1] | lo[1:]
+    out.extend(tail.tobytes())
+    return bytes(out[:total_bytes])
+
+
+def _level_knobs(level: int) -> dict:
+    """Map zlib levels onto the device matcher's (chain_depth, max_words).
+
+    Plays the role of CONFIGURATION_TABLE (algorithm/mod.rs:69-82) for the
+    TPU path: deeper chains + longer word scans at higher levels.
+    """
+    if level <= 1:
+        return dict(chain_depth=1, max_words=8)
+    if level <= 3:
+        return dict(chain_depth=2, max_words=16)
+    if level <= 6:
+        return dict(chain_depth=4, max_words=16)
+    if level <= 8:
+        return dict(chain_depth=8, max_words=32)
+    return dict(chain_depth=16, max_words=64)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk_size", "chain_depth", "max_words", "dynamic")
+)
+def _encode_batch(chunks, n_valid, finals, *, chunk_size, chain_depth, max_words, dynamic):
+    """vmap'd chunk encoder: uint8[B, chunk+PAD] -> per-chunk block payloads.
+
+    Static mode returns complete blocks; dynamic mode returns block bodies
+    plus the tree length arrays the host turns into headers.
+    """
+    if dynamic:
+
+        def one(chunk, nv):
+            return dynhuff.encode_chunk_dynamic(
+                chunk, nv, chain_depth=chain_depth, max_words=max_words
+            )
+
+        words, bits, ll_lens, d_lens = jax.vmap(one)(chunks, n_valid)
+    else:
+
+        def one_s(chunk, nv, fin):
+            return lz77.encode_chunk_static(
+                chunk, nv, fin, chain_depth=chain_depth, max_words=max_words
+            )
+
+        words, bits = jax.vmap(one_s)(chunks, n_valid, finals)
+        ll_lens = d_lens = None
+    adlers = checksum.adler32_batch_jax(chunks[:, :chunk_size], n_valid)
+    return words, bits, ll_lens, d_lens, adlers
+
+
+def _shard_inputs(mesh, chunks, n_valid, finals):
+    """Lay the batch out over the mesh: chunks sharded on the batch axis; no
+    cross-chunk communication exists until the host gather (ICI/DCN only
+    moves compressed words back)."""
+    shard = NamedSharding(mesh, P("chunks"))
+    chunks = jax.device_put(chunks, NamedSharding(mesh, P("chunks", None)))
+    n_valid = jax.device_put(n_valid, shard)
+    finals = jax.device_put(finals, shard)
+    return chunks, n_valid, finals
+
+
+def _stored_blocks(data: bytes, final: bool) -> bytes:
+    """Byte-aligned stored block(s) for one chunk (used when the coded block
+    would be larger — the reference's stored/coded cost rule)."""
+    out = bytearray()
+    i = 0
+    while True:
+        take = min(len(data) - i, 65535)
+        is_last = final and (i + take == len(data))
+        out.append(1 if is_last else 0)  # BFINAL + BTYPE=00 + 5 pad bits
+        out.extend(take.to_bytes(2, "little"))
+        out.extend((~take & 0xFFFF).to_bytes(2, "little"))
+        out.extend(data[i : i + take])
+        i += take
+        if i >= len(data):
+            return bytes(out)
+
+
+def _assemble(payloads, chunks_raw, n_chunks: int) -> bytearray:
+    """Stitch per-chunk block payloads [(bytes, total_bits)]: byte-align every
+    non-final chunk with an empty stored block (the 00 00 FF FF sync seam);
+    the final chunk already carries BFINAL, so it is only zero-padded to a
+    byte boundary. Chunks whose coded block is larger than raw+overhead are
+    re-emitted as stored blocks instead (cost rule of zng_tr_flush_block,
+    deflate.rs:2367-2402)."""
+    out = bytearray()
+    for k in range(n_chunks):
+        payload, total_bits = payloads[k]
+        raw_chunk = chunks_raw[k]
+        final = k == n_chunks - 1
+        stored_cost = len(raw_chunk) + 5 * max(1, -(-len(raw_chunk) // 65535))
+        if (total_bits + 7) // 8 > stored_cost and len(raw_chunk):
+            out.extend(_stored_blocks(raw_chunk, final))
+            continue  # stored blocks end byte-aligned: no seam needed
+        out.extend(payload)
+        if not final:
+            # stored-block seam: 3 header bits are 0, padding bits are 0 —
+            # all inside already-zero bytes — then LEN=0000/NLEN=FFFF.
+            rem = total_bits & 7
+            if rem == 0 or rem > 5:
+                out.append(0)  # the 3 header bits need a fresh byte
+            out.extend(b"\x00\x00\xff\xff")
+    return out
+
+
+def compress_parallel(
+    data: bytes,
+    level: int = 6,
+    *,
+    window_bits: int = 15,
+    chunk_size: int = DEFAULT_CHUNK,
+    mesh: Mesh | None = None,
+) -> bytes:
+    """Compress `data` into one valid zlib/gzip/raw stream, chunk-parallel.
+
+    With a mesh, chunks are sharded over its devices; without, the whole
+    batch runs on the default device. Output always decodes with stdlib zlib.
+    """
+    wrap, wbits = decode_window_bits_deflate(window_bits)
+    n = len(data)
+    n_chunks = max(1, -(-n // chunk_size))
+    padded = np.zeros((n_chunks, chunk_size + lz77.PAD), np.uint8)
+    flat = np.frombuffer(data, np.uint8)
+    for k in range(n_chunks):
+        seg = flat[k * chunk_size : (k + 1) * chunk_size]
+        padded[k, : seg.shape[0]] = seg
+    n_valid = np.array(
+        [min(chunk_size, max(0, n - k * chunk_size)) for k in range(n_chunks)], np.int32
+    )
+    finals = np.zeros(n_chunks, np.int32)
+    finals[-1] = 1
+
+    knobs = _level_knobs(level)
+    dynamic = level >= 3
+    if mesh is not None:
+        # pad the batch to a multiple of the mesh size (empty chunks are
+        # dropped at assembly — only the first n_chunks rows are consumed)
+        nd = mesh.devices.size
+        pad_rows = (-n_chunks) % nd
+        if pad_rows:
+            padded = np.concatenate(
+                [padded, np.zeros((pad_rows, padded.shape[1]), np.uint8)]
+            )
+            n_valid_dev = np.concatenate([n_valid, np.zeros(pad_rows, np.int32)])
+            finals_dev = np.concatenate([finals, np.zeros(pad_rows, np.int32)])
+        else:
+            n_valid_dev, finals_dev = n_valid, finals
+        dc, dn, df = _shard_inputs(mesh, padded, n_valid_dev, finals_dev)
+    else:
+        dc, dn, df = jnp.asarray(padded), jnp.asarray(n_valid), jnp.asarray(finals)
+    words, bits, ll_lens, d_lens, adlers = _encode_batch(
+        dc, dn, df, chunk_size=chunk_size, dynamic=dynamic, **knobs
+    )
+    words_np = np.ascontiguousarray(np.asarray(words))
+    bits_np = np.asarray(bits)
+    adlers_np = np.asarray(adlers)
+
+    payloads = []
+    if dynamic:
+        ll_np = np.asarray(ll_lens)
+        d_np = np.asarray(d_lens)
+        for k in range(n_chunks):
+            hdr, hb = _dyn_header(ll_np[k], d_np[k], final=k == n_chunks - 1)
+            body_bits = int(bits_np[k])
+            payload = _splice_bits(hdr, hb, words_np[k].view(np.uint8), body_bits)
+            payloads.append((payload, hb + body_bits))
+    else:
+        for k in range(n_chunks):
+            total_bits = int(bits_np[k])
+            nbytes = (total_bits + 7) // 8
+            payloads.append((words_np[k].view(np.uint8)[:nbytes].tobytes(), total_bits))
+
+    chunks_raw = [
+        data[k * chunk_size : k * chunk_size + int(n_valid[k])] for k in range(n_chunks)
+    ]
+    body = _assemble(payloads, chunks_raw, n_chunks)
+
+    out = bytearray()
+    if wrap == Wrap.Zlib:
+        cinfo = wbits - 8
+        cmf = (cinfo << 4) | 8
+        flevel = 0 if level < 2 else 1 if level < 6 else 2 if level == 6 else 3
+        flg = flevel << 6
+        flg |= (31 - (cmf * 256 + flg) % 31) % 31
+        out.extend(bytes([cmf, flg]))
+    elif wrap == Wrap.Gzip:
+        out.extend(bytes([0x1F, 0x8B, 8, 0, 0, 0, 0, 0, 2 if level == 9 else 0, 3]))
+    out.extend(body)
+    if wrap == Wrap.Zlib:
+        # tree-combine the per-chunk adlers (reference: adler32_combine)
+        a = 1
+        for k in range(n_chunks):
+            a = checksum.adler32_combine(a, int(adlers_np[k]), int(n_valid[k]))
+        out.extend(a.to_bytes(4, "big"))
+    elif wrap == Wrap.Gzip:
+        # batched device crc32 over full chunks, host tail, tree-combine
+        crc = 0
+        nfull = n // chunk_size
+        if nfull:
+            full = np.frombuffer(data[: nfull * chunk_size], np.uint8).reshape(
+                nfull, chunk_size
+            )
+            crcs = np.asarray(checksum.crc32_batch_jax(jnp.asarray(full)))
+            for k in range(nfull):
+                crc = checksum.crc32_combine(crc, int(crcs[k]), chunk_size)
+        tail = data[nfull * chunk_size :]
+        if tail:
+            crc = checksum.crc32_combine(crc, checksum.crc32(tail), len(tail))
+        out.extend(crc.to_bytes(4, "little"))
+        out.extend((n & 0xFFFFFFFF).to_bytes(4, "little"))
+    return bytes(out)
