@@ -1,0 +1,145 @@
+"""ctypes binding for the C++ native runtime (native/zrs_native.cpp).
+
+Plays the role the reference's native Rust plays for its host hot loops:
+hash-chain deflate, table-driven inflate, slice-by-8 checksums, and a
+std::thread pigz-style parallel compressor. The library is compiled on
+first use (g++ is part of the toolchain) and cached next to the source;
+everything degrades gracefully to the pure-Python engines when unavailable
+(the reference's runtime-dispatch idea, cpu_features.rs:30-61, applied at
+the build boundary instead).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_REPO_ROOT, "native", "zrs_native.cpp")
+_SO = os.path.join(_REPO_ROOT, "native", "libzrs_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+                "-o", _SO, _SRC,
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.zrs_adler32.restype = ctypes.c_uint32
+        lib.zrs_adler32.argtypes = [ctypes.c_uint32, ctypes.c_char_p, ctypes.c_size_t]
+        lib.zrs_crc32.restype = ctypes.c_uint32
+        lib.zrs_crc32.argtypes = [ctypes.c_uint32, ctypes.c_char_p, ctypes.c_size_t]
+        lib.zrs_deflate_chunk.restype = ctypes.c_long
+        lib.zrs_deflate_chunk.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_size_t,
+        ]
+        lib.zrs_inflate_raw.restype = ctypes.c_long
+        lib.zrs_inflate_raw.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.zrs_deflate_parallel.restype = ctypes.c_long
+        lib.zrs_deflate_parallel.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_size_t,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_size_t,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def adler32(data: bytes, start: int = 1) -> int:
+    return _load().zrs_adler32(start & 0xFFFFFFFF, bytes(data), len(data))
+
+
+def crc32(data: bytes, start: int = 0) -> int:
+    return _load().zrs_crc32(start & 0xFFFFFFFF, bytes(data), len(data))
+
+
+def deflate_chunk(
+    data: bytes, level: int = 6, final: bool = True, dictionary: bytes | None = None
+) -> bytes:
+    """Raw-deflate one chunk: complete blocks, byte-aligned end (sync seam if
+    not final), BFINAL set when final."""
+    lib = _load()
+    cap = len(data) + len(data) // 250 + 4096
+    out = ctypes.create_string_buffer(cap)
+    d = bytes(dictionary) if dictionary else None
+    rc = lib.zrs_deflate_chunk(
+        d, len(d) if d else 0, bytes(data), len(data), level, 1 if final else 0,
+        out, cap,
+    )
+    if rc < 0:
+        raise RuntimeError("native deflate buffer overflow")
+    return out.raw[:rc]
+
+
+def inflate_raw(data: bytes, max_out: int) -> tuple[bytes, int]:
+    """Decode one raw-deflate stream fully. Returns (output, input_consumed).
+
+    Raises ValueError on corrupt data, BufferError if max_out is too small.
+    """
+    lib = _load()
+    out = ctypes.create_string_buffer(max_out if max_out > 0 else 1)
+    used = ctypes.c_size_t(0)
+    rc = lib.zrs_inflate_raw(bytes(data), len(data), out, max_out, ctypes.byref(used))
+    if rc == -1:
+        raise ValueError("invalid deflate data")
+    if rc == -2:
+        raise BufferError("output buffer too small")
+    if rc == -3:
+        raise ValueError("truncated deflate data")
+    return out.raw[:rc], used.value
+
+
+def deflate_parallel(
+    data: bytes,
+    level: int = 6,
+    chunk_size: int = 128 * 1024,
+    prime_dict: bool = True,
+    nthreads: int = 0,
+) -> bytes:
+    """Multithreaded pigz-style chunked raw deflate (one valid stream)."""
+    lib = _load()
+    cap = len(data) + len(data) // 250 + 4096 + 16 * (len(data) // max(chunk_size, 1) + 2)
+    out = ctypes.create_string_buffer(cap)
+    rc = lib.zrs_deflate_parallel(
+        bytes(data), len(data), level, chunk_size, 1 if prime_dict else 0,
+        nthreads, out, cap,
+    )
+    if rc < 0:
+        raise RuntimeError("native parallel deflate buffer overflow")
+    return out.raw[:rc]

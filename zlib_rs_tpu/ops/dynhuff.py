@@ -173,14 +173,18 @@ def encode_chunk_dynamic(padded_u8, n_valid, *, chain_depth=4, max_words=16):
     ll_sym, d_sym, e1, eb1, e2, eb2 = token_symbols(padded_u8, length, dist, tokens)
 
     live = tokens
-    ll_freq = jnp.zeros((286,), jnp.int32).at[jnp.where(live, ll_sym, 0)].add(
-        live.astype(jnp.int32)
-    )
+    # bincount via sort + vectorized binary search (TPU scatters serialize;
+    # sorts and gathers are fast)
+    ll_sorted = jnp.sort(jnp.where(live, ll_sym, 1 << 20))
+    edges = jnp.arange(287, dtype=jnp.int32)
+    bounds = jnp.searchsorted(ll_sorted, edges, side="left", method="scan")
+    ll_freq = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
     ll_freq = ll_freq.at[256].add(1)  # EOB
     d_live = live & (d_sym >= 0)
-    d_freq = jnp.zeros((30,), jnp.int32).at[jnp.where(d_live, d_sym, 0)].add(
-        d_live.astype(jnp.int32)
-    )
+    d_sorted = jnp.sort(jnp.where(d_live, d_sym, 1 << 20))
+    d_edges = jnp.arange(31, dtype=jnp.int32)
+    d_bounds = jnp.searchsorted(d_sorted, d_edges, side="left", method="scan")
+    d_freq = (d_bounds[1:] - d_bounds[:-1]).astype(jnp.int32)
 
     ll_lens = code_lengths_kraft(ll_freq)
     d_lens = code_lengths_kraft(d_freq)

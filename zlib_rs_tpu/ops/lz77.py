@@ -242,28 +242,27 @@ def token_codes_static(
 
 
 def pack_bits(value: jnp.ndarray, nbits: jnp.ndarray, header_bits: int, out_words: int):
-    """Scatter (value, nbits) tokens into a u32 word array.
+    """Gather-only bit packing of (value, nbits) tokens into u32 words.
 
-    Bit offsets come from an exclusive prefix sum (+header_bits); each token
-    writes <= 2 words with carry-free adds. Returns (words u32[out_words],
-    total_bits) where total_bits includes the header but not the EOB.
+    TPU scatters serialize on colliding indices, so this is OUTPUT-driven:
+    every output bit finds its source token with a vectorized binary search
+    over the exclusive-prefix-sum bit offsets, gathers the token value, and
+    extracts its bit; a 32-lane weighted reduction packs bits to words.
+    Returns (words u32[out_words], total_bits incl. header).
     """
-    off = header_bits + jnp.cumsum(nbits) - nbits
+    off = header_bits + jnp.cumsum(nbits) - nbits  # token start bit
     total = header_bits + jnp.sum(nbits)
-    w = (off >> 5).astype(jnp.int32)
-    s = (off & 31).astype(jnp.uint32)
-    # split the (<= 62-bit) shifted value into two u32 halves without u64
-    # (x64 mode is off): lo truncates naturally; hi uses a two-step shift so
-    # s == 0 never produces an undefined >>32.
-    value = value.astype(jnp.uint32)
-    lo = value << s
-    hi = (value >> (jnp.uint32(31) - s)) >> jnp.uint32(1)
-    live = nbits > 0
-    wsafe = jnp.where(live, w, out_words)  # dump slot
-    words = jnp.zeros((out_words + 2,), jnp.uint32)
-    words = words.at[wsafe].add(lo, mode="drop")
-    words = words.at[wsafe + 1].add(hi, mode="drop")
-    return words[:out_words], total
+    nbits_total = out_words * 32
+    b = jnp.arange(nbits_total, dtype=jnp.int32)
+    t = jnp.searchsorted(off, b, side="right", method="scan") - 1
+    t = jnp.clip(t, 0, off.shape[0] - 1)
+    bitpos = b - off[t]
+    bit = (value.astype(jnp.uint32)[t] >> jnp.minimum(bitpos, 31).astype(jnp.uint32)) & 1
+    bit = jnp.where((bitpos >= 0) & (bitpos < nbits[t]), bit, 0)
+    lanes = bit.reshape(out_words, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
+    words = jnp.sum(lanes * weights, axis=1, dtype=jnp.uint32)
+    return words, total
 
 
 def encode_chunk_static(padded_u8: jnp.ndarray, n_valid, final, *, chain_depth=4, max_words=16):
