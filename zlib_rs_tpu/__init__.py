@@ -59,4 +59,16 @@ def __getattr__(name):
         from .models.gzfile import GzFile
 
         return GzFile
+    if name == "gzopen":
+        from .models.gzfile import gzopen
+
+        return gzopen
+    if name in ("compress_parallel", "decompress_parallel"):
+        from .parallel import pipeline
+
+        return getattr(pipeline, name)
+    if name == "native":
+        from . import native
+
+        return native
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

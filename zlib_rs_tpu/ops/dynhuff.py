@@ -169,8 +169,15 @@ def encode_chunk_dynamic(padded_u8, n_valid, *, chain_depth=4, max_words=16):
     length, dist = lz77.find_matches(
         padded_u8, n_valid, chain_depth=chain_depth, max_words=max_words
     )
+    # stage barriers: stop XLA from fusing each producer into the next
+    # stage's gathers (it would recompute the producer per access)
+    length, dist = jax.lax.optimization_barrier((length, dist))
     tokens = lz77.greedy_parse(length, n_valid)
+    tokens = jax.lax.optimization_barrier(tokens)
     ll_sym, d_sym, e1, eb1, e2, eb2 = token_symbols(padded_u8, length, dist, tokens)
+    ll_sym, d_sym, e1, eb1, e2, eb2 = jax.lax.optimization_barrier(
+        (ll_sym, d_sym, e1, eb1, e2, eb2)
+    )
 
     live = tokens
     # bincount via sort + vectorized binary search (TPU scatters serialize;
@@ -190,6 +197,9 @@ def encode_chunk_dynamic(padded_u8, n_valid, *, chain_depth=4, max_words=16):
     d_lens = code_lengths_kraft(d_freq)
     ll_codes = canonical_codes_jax(ll_lens)
     d_codes = canonical_codes_jax(d_lens)
+    ll_lens, d_lens, ll_codes, d_codes = jax.lax.optimization_barrier(
+        (ll_lens, d_lens, ll_codes, d_codes)
+    )
 
     # fuse per-token bits: llcode+extra+dcode+extra, <= 15+5+15+13 = 48 bits.
     # That exceeds one u32, so pack as TWO scatter fields per token: the
@@ -209,6 +219,7 @@ def encode_chunk_dynamic(padded_u8, n_valid, *, chain_depth=4, max_words=16):
     # EOB terminator
     values = jnp.concatenate([values, ll_codes[256][None]])
     nbits = jnp.concatenate([nbits, ll_lens[256][None]])
+    values, nbits = jax.lax.optimization_barrier((values, nbits))
 
     out_words = (16 * n + 64) // 32 + 4  # worst case ~15.x bits/byte + EOB
     words, total = lz77.pack_bits(values, nbits, 0, out_words)

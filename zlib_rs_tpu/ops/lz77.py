@@ -276,8 +276,13 @@ def encode_chunk_static(padded_u8: jnp.ndarray, n_valid, final, *, chain_depth=4
     length, dist = find_matches(
         padded_u8, n_valid, chain_depth=chain_depth, max_words=max_words
     )
+    # materialize stage outputs: without barriers XLA fuses these producers
+    # into the downstream gathers and recomputes them per access (1000x)
+    length, dist = lax.optimization_barrier((length, dist))
     tokens = greedy_parse(length, n_valid)
+    tokens = lax.optimization_barrier(tokens)
     value, nbits = token_codes_static(padded_u8, length, dist, tokens)
+    value, nbits = lax.optimization_barrier((value, nbits))
     # worst case ~9.06 bits/byte with static trees + header + EOB
     out_words = (9 * n + 64) // 32 + 2
     final_u32 = jnp.asarray(final, jnp.uint32)

@@ -173,13 +173,16 @@ def _assemble(payloads, chunks_raw, n_chunks: int) -> bytearray:
     re-emitted as stored blocks instead (cost rule of zng_tr_flush_block,
     deflate.rs:2367-2402)."""
     out = bytearray()
+    index = []
     for k in range(n_chunks):
         payload, total_bits = payloads[k]
         raw_chunk = chunks_raw[k]
         final = k == n_chunks - 1
+        start = len(out)
         stored_cost = len(raw_chunk) + 5 * max(1, -(-len(raw_chunk) // 65535))
         if (total_bits + 7) // 8 > stored_cost and len(raw_chunk):
             out.extend(_stored_blocks(raw_chunk, final))
+            index.append((start, len(out) - start, len(raw_chunk)))
             continue  # stored blocks end byte-aligned: no seam needed
         out.extend(payload)
         if not final:
@@ -189,7 +192,8 @@ def _assemble(payloads, chunks_raw, n_chunks: int) -> bytearray:
             if rem == 0 or rem > 5:
                 out.append(0)  # the 3 header bits need a fresh byte
             out.extend(b"\x00\x00\xff\xff")
-    return out
+        index.append((start, len(out) - start, len(raw_chunk)))
+    return out, index
 
 
 def compress_parallel(
@@ -199,11 +203,17 @@ def compress_parallel(
     window_bits: int = 15,
     chunk_size: int = DEFAULT_CHUNK,
     mesh: Mesh | None = None,
-) -> bytes:
+    return_index: bool = False,
+):
     """Compress `data` into one valid zlib/gzip/raw stream, chunk-parallel.
 
     With a mesh, chunks are sharded over its devices; without, the whole
     batch runs on the default device. Output always decodes with stdlib zlib.
+
+    With return_index=True, also returns the chunk index
+    [(body_offset, body_len, out_len), ...] that decompress_parallel uses
+    for fully parallel decode (the random-access capability the reference
+    exposes via inflateSync/inflateMark, SURVEY.md section 2e).
     """
     wrap, wbits = decode_window_bits_deflate(window_bits)
     n = len(data)
@@ -262,7 +272,7 @@ def compress_parallel(
     chunks_raw = [
         data[k * chunk_size : k * chunk_size + int(n_valid[k])] for k in range(n_chunks)
     ]
-    body = _assemble(payloads, chunks_raw, n_chunks)
+    body, index = _assemble(payloads, chunks_raw, n_chunks)
 
     out = bytearray()
     if wrap == Wrap.Zlib:
@@ -297,4 +307,33 @@ def compress_parallel(
             crc = checksum.crc32_combine(crc, checksum.crc32(tail), len(tail))
         out.extend(crc.to_bytes(4, "little"))
         out.extend((n & 0xFFFFFFFF).to_bytes(4, "little"))
+    if return_index:
+        hdr_len = len(out) - len(body) - (
+            4 if wrap == Wrap.Zlib else 8 if wrap == Wrap.Gzip else 0
+        )
+        abs_index = [(hdr_len + off, ln, out_len) for off, ln, out_len in index]
+        return bytes(out), abs_index
     return bytes(out)
+
+
+def decompress_parallel(data: bytes, index) -> bytes:
+    """Decode a stream produced by compress_parallel using its chunk index:
+    every chunk body decodes independently (batched on device), outputs are
+    concatenated in order, and the container checksum is verified."""
+    from . import inflate as pinf
+    from ..models import oneshot
+
+    if index is None:
+        return oneshot.decompress(data)
+    bodies = [data[off : off + ln] for off, ln, _ in index]
+    out_sizes = [out_len for _, _, out_len in index]
+    parts = pinf.decompress_chunks(bodies, out_sizes)
+    result = b"".join(parts)
+    # verify the container checksum (zlib/gzip/raw sniff)
+    if data[:2] == b"\x1f\x8b":
+        if checksum.crc32(result) != int.from_bytes(data[-8:-4], "little"):
+            raise ValueError("incorrect data check")
+    elif len(data) >= 2 and (data[0] & 0x0F) == 8 and ((data[0] << 8) | data[1]) % 31 == 0:
+        if checksum.adler32(result) != int.from_bytes(data[-4:], "big"):
+            raise ValueError("incorrect data check")
+    return result
