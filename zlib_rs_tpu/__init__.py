@@ -68,7 +68,7 @@ def __getattr__(name):
 
         return getattr(pipeline, name)
     if name == "native":
-        from . import native
+        import importlib
 
-        return native
+        return importlib.import_module(".native", __name__)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

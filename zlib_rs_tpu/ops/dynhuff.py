@@ -137,24 +137,23 @@ def canonical_codes_jax(lengths: jnp.ndarray) -> jnp.ndarray:
 def token_symbols(padded_u8, length, dist, tokens):
     """Per-position (ll_sym, d_sym, len_extra_val/bits, dist_extra_val/bits).
 
-    d_sym is -1 for literals. Shared by freq counting and packing.
+    d_sym is -1 for literals. Shared by freq counting and packing. Fully
+    arithmetic (see lz77.length_symbol_arith) — tiny-table gathers are
+    pathologically slow on TPU.
     """
     n = length.shape[0]
     byte = padded_u8[:n].astype(jnp.int32)
     is_match = tokens & (length >= lz77.MIN_MATCH)
     safe_len = jnp.clip(length, lz77.MIN_MATCH, lz77.MAX_MATCH)
-    lc = _LEN_CODE[safe_len - lz77.MIN_MATCH]
+    lc, leb, lev = lz77.length_symbol_arith(safe_len)
     ll_sym = jnp.where(is_match, 257 + lc, byte)
-    e1 = jnp.where(is_match, safe_len - _LEN_BASE[lc], 0)
-    eb1 = jnp.where(is_match, _LEN_EXTRA[lc], 0)
+    e1 = jnp.where(is_match, lev, 0)
+    eb1 = jnp.where(is_match, leb, 0)
     safe_d = jnp.clip(dist, 1, lz77.MAX_DIST)
-    dm1 = safe_d - 1
-    dc = jnp.where(
-        dm1 < 256, _DIST_CODE_LUT[jnp.minimum(dm1, 255)], _DIST_CODE_LUT[256 + (dm1 >> 7)]
-    )
+    dc, deb, dev = lz77.dist_symbol_arith(safe_d)
     d_sym = jnp.where(is_match, dc, -1)
-    e2 = jnp.where(is_match, safe_d - _DIST_BASE[dc], 0)
-    eb2 = jnp.where(is_match, _DIST_EXTRA[dc], 0)
+    e2 = jnp.where(is_match, dev, 0)
+    eb2 = jnp.where(is_match, deb, 0)
     return ll_sym, d_sym, e1, eb1, e2, eb2
 
 
@@ -202,16 +201,25 @@ def encode_chunk_dynamic(padded_u8, n_valid, *, chain_depth=4, max_words=16):
     )
 
     # fuse per-token bits: llcode+extra+dcode+extra, <= 15+5+15+13 = 48 bits.
-    # That exceeds one u32, so pack as TWO scatter fields per token: the
-    # length side (<=20 bits) and the distance side (<=28 bits).
-    v1 = ll_codes[ll_sym] | (e1.astype(jnp.uint32) << ll_lens[ll_sym].astype(jnp.uint32))
-    n1 = jnp.where(live, ll_lens[ll_sym] + eb1, 0)
+    # That exceeds one u32, so pack as TWO fields per token: the length side
+    # (<=20 bits) and the distance side (<=28 bits). The per-chunk code
+    # tables are zero-padded to a large operand before gathering — gathers
+    # from tiny arrays hit a catastrophically slow TPU lowering.
+    PADN = 32768
+    ll_codes_p = jnp.zeros((PADN,), jnp.uint32).at[:286].set(ll_codes)
+    ll_lens_p = jnp.zeros((PADN,), jnp.int32).at[:286].set(ll_lens)
+    d_codes_p = jnp.zeros((PADN,), jnp.uint32).at[:30].set(d_codes)
+    d_lens_p = jnp.zeros((PADN,), jnp.int32).at[:30].set(d_lens)
+    v1 = ll_codes_p[ll_sym] | (
+        e1.astype(jnp.uint32) << ll_lens_p[ll_sym].astype(jnp.uint32)
+    )
+    n1 = jnp.where(live, ll_lens_p[ll_sym] + eb1, 0)
     safe_dsym = jnp.maximum(d_sym, 0)
-    v2 = d_codes[safe_dsym] | (
-        e2.astype(jnp.uint32) << d_lens[safe_dsym].astype(jnp.uint32)
+    v2 = d_codes_p[safe_dsym] | (
+        e2.astype(jnp.uint32) << d_lens_p[safe_dsym].astype(jnp.uint32)
     )
     v2 = jnp.where(d_live, v2, 0)
-    n2 = jnp.where(d_live, d_lens[safe_dsym] + eb2, 0)
+    n2 = jnp.where(d_live, d_lens_p[safe_dsym] + eb2, 0)
 
     # interleave: token i contributes (v1, n1) then (v2, n2)
     values = jnp.stack([v1, v2], axis=1).reshape(-1)

@@ -194,6 +194,66 @@ def greedy_parse(length: jnp.ndarray, n_valid) -> jnp.ndarray:
     return (visited[:n] > 0) & (idx < n_valid)
 
 
+def bit_reverse_jax(v: jnp.ndarray, nbits: jnp.ndarray) -> jnp.ndarray:
+    """Reverse the low `nbits` bits of each uint32 (pure bit ops, no LUT)."""
+    v = v.astype(jnp.uint32)
+    r = jnp.zeros_like(v)
+    for _ in range(16):
+        r = (r << jnp.uint32(1)) | (v & jnp.uint32(1))
+        v = v >> jnp.uint32(1)
+    return r >> (jnp.uint32(16) - nbits.astype(jnp.uint32))
+
+
+def _bitlen(v: jnp.ndarray) -> jnp.ndarray:
+    """Number of significant bits of v (v >= 1)."""
+    return 32 - lax.clz(v.astype(jnp.int32))
+
+
+def length_symbol_arith(safe_len: jnp.ndarray):
+    """(length code 0..28, extra_bits, extra_val) from match length — the RFC
+    doubling construction computed arithmetically (no table gathers: TPU
+    gathers from tiny operands lower to a pathologically slow path)."""
+    v = safe_len - MIN_MATCH  # 0..255
+    vs = jnp.maximum(v, 8)
+    e = _bitlen(vs) - 3  # >= 1
+    lc_big = 4 + 4 * e + ((vs >> e) & 3)
+    lc = jnp.where(v < 8, v, lc_big)
+    lc = jnp.where(v == 255, 28, lc)
+    eb = jnp.where((v < 8) | (v == 255), 0, e)
+    ev = jnp.where((v < 8) | (v == 255), 0, v & ((1 << jnp.maximum(e, 0)) - 1))
+    return lc, eb, ev
+
+
+def dist_symbol_arith(safe_d: jnp.ndarray):
+    """(dist code 0..29, extra_bits, extra_val) from distance, arithmetic."""
+    d = safe_d - 1  # 0..32767
+    ds = jnp.maximum(d, 4)
+    e = _bitlen(ds) - 2  # >= 1
+    dc_big = 2 * (e + 1) + ((ds >> e) & 1)
+    dc = jnp.where(d < 4, d, dc_big)
+    eb = jnp.where(d < 4, 0, e)
+    ev = jnp.where(d < 4, 0, d & ((1 << jnp.maximum(e, 0)) - 1))
+    return dc, eb, ev
+
+
+def static_litlen_code(sym: jnp.ndarray):
+    """(code_lsb, nbits) of the RFC 1951 fixed literal/length tree, computed
+    arithmetically (3.2.6's four ranges) and bit-reversed for LSB packing."""
+    code_msb = jnp.where(
+        sym < 144,
+        0x30 + sym,
+        jnp.where(
+            sym < 256,
+            0x190 + (sym - 144),
+            jnp.where(sym < 280, sym - 256, 0xC0 + (sym - 280)),
+        ),
+    )
+    nbits = jnp.where(
+        sym < 144, 8, jnp.where(sym < 256, 9, jnp.where(sym < 280, 7, 8))
+    )
+    return bit_reverse_jax(code_msb, nbits), nbits
+
+
 def token_codes_static(
     padded_u8: jnp.ndarray,
     length: jnp.ndarray,
@@ -204,37 +264,34 @@ def token_codes_static(
 
     Literals are <= 9 bits; matches fuse lenCode+extra+distCode+extra into
     <= 31 bits (counterpart of the reference's encode_len/encode_dist fusion,
-    deflate.rs:915-961).
+    deflate.rs:915-961). Entirely arithmetic — zero table gathers.
     """
     n = length.shape[0]
     byte = padded_u8[:n].astype(jnp.int32)
     is_match = tokens & (length >= MIN_MATCH)
 
-    lit_v = _LL_CODE[byte]
-    lit_n = _LL_BITS[byte]
+    lit_v, lit_n = static_litlen_code(byte)
 
     safe_len = jnp.clip(length, MIN_MATCH, MAX_MATCH)
-    lc = _LEN_CODE[safe_len - MIN_MATCH]
-    lsym = 257 + lc
-    v1 = _LL_CODE[lsym]
-    n1 = _LL_BITS[lsym]
-    e1 = (safe_len - _LEN_BASE[lc]).astype(jnp.uint32)
-    eb1 = _LEN_EXTRA[lc]
+    lc, eb1, e1 = length_symbol_arith(safe_len)
+    v1, n1 = static_litlen_code(257 + lc)
 
     safe_d = jnp.clip(dist, 1, MAX_DIST)
-    dm1 = safe_d - 1
-    dc = jnp.where(dm1 < 256, _DIST_CODE_LUT[jnp.minimum(dm1, 255)], _DIST_CODE_LUT[256 + (dm1 >> 7)])
-    v2 = _D_CODE[dc]
-    e2 = (safe_d - _DIST_BASE[dc]).astype(jnp.uint32)
-    eb2 = _DIST_EXTRA[dc]
+    dc, eb2, e2 = dist_symbol_arith(safe_d)
+    v2 = bit_reverse_jax(dc, jnp.full_like(dc, 5))  # fixed dist codes: 5 bits
 
-    sh1 = n1
-    sh2 = sh1 + eb1
+    sh1 = n1.astype(jnp.uint32)
+    sh2 = sh1 + eb1.astype(jnp.uint32)
     sh3 = sh2 + 5
-    match_v = v1 | (e1 << sh1) | (v2 << sh2) | (e2 << sh3)
-    match_n = sh3 + eb2
+    match_v = (
+        v1
+        | (e1.astype(jnp.uint32) << sh1)
+        | (v2 << sh2)
+        | (e2.astype(jnp.uint32) << sh3)
+    )
+    match_n = sh3.astype(jnp.int32) + eb2
 
-    value = jnp.where(is_match, match_v, lit_v.astype(jnp.uint32))
+    value = jnp.where(is_match, match_v, lit_v)
     nbits = jnp.where(is_match, match_n, lit_n)
     nbits = jnp.where(tokens, nbits, 0)
     value = jnp.where(tokens, value, jnp.uint32(0))

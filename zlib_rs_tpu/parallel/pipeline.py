@@ -133,8 +133,14 @@ def _encode_batch(chunks, n_valid, finals, *, chunk_size, chain_depth, max_words
 
         words, bits = jax.vmap(one_s)(chunks, n_valid, finals)
         ll_lens = d_lens = None
-    adlers = checksum.adler32_batch_jax(chunks[:, :chunk_size], n_valid)
-    return words, bits, ll_lens, d_lens, adlers
+    return words, bits, ll_lens, d_lens
+
+
+@jax.jit
+def _adler_batch(chunks, n_valid):
+    # separate dispatch: fusing this into _encode_batch makes XLA merge the
+    # two programs into a pathologically slow schedule (11s vs 1.3ms)
+    return checksum.adler32_batch_jax(chunks, n_valid)
 
 
 def _shard_inputs(mesh, chunks, n_valid, finals):
@@ -231,33 +237,57 @@ def compress_parallel(
 
     knobs = _level_knobs(level)
     dynamic = level >= 3
-    if mesh is not None:
-        # pad the batch to a multiple of the mesh size (empty chunks are
-        # dropped at assembly — only the first n_chunks rows are consumed)
-        nd = mesh.devices.size
-        pad_rows = (-n_chunks) % nd
-        if pad_rows:
-            padded = np.concatenate(
-                [padded, np.zeros((pad_rows, padded.shape[1]), np.uint8)]
-            )
-            n_valid_dev = np.concatenate([n_valid, np.zeros(pad_rows, np.int32)])
-            finals_dev = np.concatenate([finals, np.zeros(pad_rows, np.int32)])
-        else:
-            n_valid_dev, finals_dev = n_valid, finals
-        dc, dn, df = _shard_inputs(mesh, padded, n_valid_dev, finals_dev)
+
+    # process in fixed-size sub-batches: one compile, bounded device memory
+    # (the pack stage materializes ~50 MB of bit-level intermediates per
+    # 128 KiB chunk), and transfer of batch k+1 overlaps compute of batch k.
+    group = mesh.devices.size if mesh is not None else 1
+    batch = max(group, min(16, ((16 + group - 1) // group) * group))
+    pad_rows = (-n_chunks) % batch
+    if pad_rows:
+        padded = np.concatenate(
+            [padded, np.zeros((pad_rows, padded.shape[1]), np.uint8)]
+        )
+        n_valid_dev = np.concatenate([n_valid, np.zeros(pad_rows, np.int32)])
+        finals_dev = np.concatenate([finals, np.zeros(pad_rows, np.int32)])
     else:
-        dc, dn, df = jnp.asarray(padded), jnp.asarray(n_valid), jnp.asarray(finals)
-    words, bits, ll_lens, d_lens, adlers = _encode_batch(
-        dc, dn, df, chunk_size=chunk_size, dynamic=dynamic, **knobs
-    )
-    words_np = np.ascontiguousarray(np.asarray(words))
-    bits_np = np.asarray(bits)
-    adlers_np = np.asarray(adlers)
+        n_valid_dev, finals_dev = n_valid, finals
+
+    parts_words, parts_bits, parts_adler = [], [], []
+    parts_ll, parts_d = [], []
+    for b0 in range(0, n_chunks, batch):
+        sl = slice(b0, b0 + batch)
+        if mesh is not None:
+            dc, dn, df = _shard_inputs(
+                mesh, padded[sl], n_valid_dev[sl], finals_dev[sl]
+            )
+        else:
+            dc = jnp.asarray(padded[sl])
+            dn = jnp.asarray(n_valid_dev[sl])
+            df = jnp.asarray(finals_dev[sl])
+        words, bits, ll_lens, d_lens = _encode_batch(
+            dc, dn, df, chunk_size=chunk_size, dynamic=dynamic, **knobs
+        )
+        adlers = _adler_batch(dc[:, :chunk_size], dn)
+        parts_words.append(words)
+        parts_bits.append(bits)
+        parts_adler.append(adlers)
+        if dynamic:
+            parts_ll.append(ll_lens)
+            parts_d.append(d_lens)
+    words_np = np.ascontiguousarray(
+        np.concatenate([np.asarray(w) for w in parts_words])
+    )[:n_chunks]
+    bits_np = np.concatenate([np.asarray(b) for b in parts_bits])[:n_chunks]
+    adlers_np = np.concatenate([np.asarray(a) for a in parts_adler])[:n_chunks]
+    if dynamic:
+        ll_all = np.concatenate([np.asarray(x) for x in parts_ll])[:n_chunks]
+        d_all = np.concatenate([np.asarray(x) for x in parts_d])[:n_chunks]
 
     payloads = []
     if dynamic:
-        ll_np = np.asarray(ll_lens)
-        d_np = np.asarray(d_lens)
+        ll_np = ll_all
+        d_np = d_all
         for k in range(n_chunks):
             hdr, hb = _dyn_header(ll_np[k], d_np[k], final=k == n_chunks - 1)
             body_bits = int(bits_np[k])
