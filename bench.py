@@ -22,7 +22,7 @@ from pathlib import Path
 import numpy as np
 
 TESTDATA = Path("/root/reference/test-libz-rs-sys/src/test-data")
-TARGET_SIZE = 16 * 1024 * 1024
+TARGET_SIZE = 8 * 1024 * 1024
 CHUNK = 128 * 1024
 BATCH = 16
 LEVEL = 6
@@ -64,6 +64,9 @@ def main():
     from zlib_rs_tpu.parallel import pipeline as P
     from zlib_rs_tpu.parallel.pipeline import compress_parallel
 
+    # pay the tunnel's one-time first-fetch penalty on 4 bytes, not 4 MB
+    _ = np.asarray(jnp.zeros((1,), jnp.uint32) + 1)
+
     # correctness + end-to-end (includes the tunnel transfers + host stitch)
     t0 = time.perf_counter()
     comp = compress_parallel(data, level=LEVEL, chunk_size=CHUNK)
@@ -74,43 +77,28 @@ def main():
     e2e_warm = time.perf_counter() - t0
     e2e_gbps = n / e2e_warm / 1e9
 
-    # sustained device throughput: batches resident in HBM, steady state
+    # sustained device throughput: one HBM-resident batch, steady-state loop
     knobs = P._level_knobs(LEVEL)
-    n_chunks = -(-n // CHUNK)
-    nb = max(1, n_chunks // BATCH)
     flat = np.frombuffer(data, np.uint8)
-    batches = []
-    for b in range(nb):
-        arr = np.zeros((BATCH, CHUNK + lz77.PAD), np.uint8)
-        for k in range(BATCH):
-            idx = b * BATCH + k
-            seg = flat[idx * CHUNK : (idx + 1) * CHUNK]
-            arr[k, : seg.shape[0]] = seg
-        batches.append(jnp.asarray(arr))
+    arr = np.zeros((BATCH, CHUNK + lz77.PAD), np.uint8)
+    for k in range(BATCH):
+        seg = flat[k * CHUNK : (k + 1) * CHUNK]
+        arr[k, : seg.shape[0]] = seg
+    dc = jnp.asarray(arr)
     nv = jnp.full((BATCH,), CHUNK, jnp.int32)
     fins = jnp.zeros((BATCH,), jnp.int32)
 
-    def run_all():
-        outs = []
-        for dc in batches:
-            outs.append(
-                P._encode_batch(
-                    dc, nv, fins, chunk_size=CHUNK, dynamic=True, **knobs
-                )
-            )
-        return outs
+    def run_once():
+        return P._encode_batch(dc, nv, fins, chunk_size=CHUNK, dynamic=True, **knobs)
 
-    outs = run_all()
-    jax.block_until_ready(outs)
+    jax.block_until_ready(run_once())  # warm
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
-        outs = run_all()
-        jax.block_until_ready(outs)
+        jax.block_until_ready(run_once())
         times.append(time.perf_counter() - t0)
     best = min(times)
-    processed = nb * BATCH * CHUNK
-    dev_gbps = processed / best / 1e9
+    dev_gbps = BATCH * CHUNK / best / 1e9
 
     result = {
         "metric": f"parallel_deflate_level{LEVEL}_device_gbps",

@@ -71,4 +71,8 @@ def __getattr__(name):
         import importlib
 
         return importlib.import_module(".native", __name__)
+    if name in ("z_error", "zError", "get_crc_table", "zlib_compile_flags", "zlibCompileFlags"):
+        from . import compat
+
+        return getattr(compat, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

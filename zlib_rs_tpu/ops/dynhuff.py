@@ -157,7 +157,7 @@ def token_symbols(padded_u8, length, dist, tokens):
     return ll_sym, d_sym, e1, eb1, e2, eb2
 
 
-def encode_chunk_dynamic(padded_u8, n_valid, *, chain_depth=4, max_words=16):
+def encode_chunk_dynamic(padded_u8, n_valid, *, chain_depth=4, max_words=16, lazy=False):
     """One chunk -> dynamic-Huffman block BODY (symbols + EOB, no header).
 
     Returns (words u32[W], body_bits i32, ll_lens i32[286], d_lens i32[30]).
@@ -166,7 +166,7 @@ def encode_chunk_dynamic(padded_u8, n_valid, *, chain_depth=4, max_words=16):
     """
     n = padded_u8.shape[0] - lz77.PAD
     length, dist = lz77.find_matches(
-        padded_u8, n_valid, chain_depth=chain_depth, max_words=max_words
+        padded_u8, n_valid, chain_depth=chain_depth, max_words=max_words, lazy=lazy
     )
     # stage barriers: stop XLA from fusing each producer into the next
     # stage's gathers (it would recompute the producer per access)

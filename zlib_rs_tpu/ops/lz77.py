@@ -129,6 +129,7 @@ def find_matches(
     *,
     chain_depth: int = 4,
     max_words: int = 16,
+    lazy: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Best (length, dist) match at every position of one chunk.
 
@@ -171,6 +172,16 @@ def find_matches(
     accept = (best_len >= MIN_MATCH) & ~((best_len == MIN_MATCH) & (best_dist > 4096))
     best_len = jnp.where(accept, best_len, 0)
     best_dist = jnp.where(accept, best_dist, 0)
+
+    if lazy:
+        # one-step lazy deferral (vectorized deflate_slow approximation,
+        # reference algorithm/slow.rs): when the NEXT position matches
+        # strictly longer, this position becomes a literal, so the greedy
+        # parse picks the longer match one byte later.
+        nxt = jnp.concatenate([best_len[1:], jnp.zeros((1,), jnp.int32)])
+        defer = (best_len >= MIN_MATCH) & (nxt > best_len)
+        best_len = jnp.where(defer, 0, best_len)
+        best_dist = jnp.where(defer, 0, best_dist)
     return best_len, best_dist
 
 
@@ -322,7 +333,7 @@ def pack_bits(value: jnp.ndarray, nbits: jnp.ndarray, header_bits: int, out_word
     return words, total
 
 
-def encode_chunk_static(padded_u8: jnp.ndarray, n_valid, final, *, chain_depth=4, max_words=16):
+def encode_chunk_static(padded_u8: jnp.ndarray, n_valid, final, *, chain_depth=4, max_words=16, lazy=False):
     """One chunk -> one static-Huffman deflate block (jittable).
 
     Returns (words u32[W], total_bits i32): the block header (BFINAL=final,
@@ -331,7 +342,7 @@ def encode_chunk_static(padded_u8: jnp.ndarray, n_valid, final, *, chain_depth=4
     """
     n = padded_u8.shape[0] - PAD
     length, dist = find_matches(
-        padded_u8, n_valid, chain_depth=chain_depth, max_words=max_words
+        padded_u8, n_valid, chain_depth=chain_depth, max_words=max_words, lazy=lazy
     )
     # materialize stage outputs: without barriers XLA fuses these producers
     # into the downstream gathers and recomputes them per access (1000x)

@@ -20,12 +20,23 @@ chunk seams are also decoder restart points for parallel inflate.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# persistent compilation cache: the encoder programs are large (sorts +
+# gathers over 128K chunks) and recompiling them per process costs ~30-60s
+try:  # pragma: no cover - best effort
+    _cache_dir = os.path.expanduser("~/.cache/zlib_rs_tpu/jax")
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 from ..config import DeflateConfig, Wrap, decode_window_bits_deflate
 from ..models.deflate import BitWriter, _scan_code_lengths
@@ -91,26 +102,28 @@ def _splice_bits(header: bytes, hb: int, body_u8: np.ndarray, body_bits: int) ->
 
 
 def _level_knobs(level: int) -> dict:
-    """Map zlib levels onto the device matcher's (chain_depth, max_words).
+    """Map zlib levels onto the device matcher's (chain_depth, max_words,
+    lazy deferral).
 
     Plays the role of CONFIGURATION_TABLE (algorithm/mod.rs:69-82) for the
-    TPU path: deeper chains + longer word scans at higher levels.
+    TPU path: deeper chains + longer word scans + lazy at higher levels.
     """
     if level <= 1:
-        return dict(chain_depth=1, max_words=8)
+        return dict(chain_depth=1, max_words=8, lazy=False)
     if level <= 3:
-        return dict(chain_depth=2, max_words=16)
+        return dict(chain_depth=2, max_words=16, lazy=False)
     if level <= 6:
-        return dict(chain_depth=4, max_words=16)
+        return dict(chain_depth=4, max_words=32, lazy=True)
     if level <= 8:
-        return dict(chain_depth=8, max_words=32)
-    return dict(chain_depth=16, max_words=64)
+        return dict(chain_depth=8, max_words=32, lazy=True)
+    return dict(chain_depth=16, max_words=64, lazy=True)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("chunk_size", "chain_depth", "max_words", "dynamic")
+    jax.jit,
+    static_argnames=("chunk_size", "chain_depth", "max_words", "lazy", "dynamic"),
 )
-def _encode_batch(chunks, n_valid, finals, *, chunk_size, chain_depth, max_words, dynamic):
+def _encode_batch(chunks, n_valid, finals, *, chunk_size, chain_depth, max_words, lazy, dynamic):
     """vmap'd chunk encoder: uint8[B, chunk+PAD] -> per-chunk block payloads.
 
     Static mode returns complete blocks; dynamic mode returns block bodies
@@ -120,7 +133,7 @@ def _encode_batch(chunks, n_valid, finals, *, chunk_size, chain_depth, max_words
 
         def one(chunk, nv):
             return dynhuff.encode_chunk_dynamic(
-                chunk, nv, chain_depth=chain_depth, max_words=max_words
+                chunk, nv, chain_depth=chain_depth, max_words=max_words, lazy=lazy
             )
 
         words, bits, ll_lens, d_lens = jax.vmap(one)(chunks, n_valid)
@@ -128,7 +141,7 @@ def _encode_batch(chunks, n_valid, finals, *, chunk_size, chain_depth, max_words
 
         def one_s(chunk, nv, fin):
             return lz77.encode_chunk_static(
-                chunk, nv, fin, chain_depth=chain_depth, max_words=max_words
+                chunk, nv, fin, chain_depth=chain_depth, max_words=max_words, lazy=lazy
             )
 
         words, bits = jax.vmap(one_s)(chunks, n_valid, finals)
