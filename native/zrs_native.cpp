@@ -157,22 +157,23 @@ void huffman_lengths(const uint32_t* freq, int n, int max_bits, uint8_t* lens) {
     nodew.push_back(w);
     parent[a] = parent[b] = (int)(m + nodew.size() - 1);
   }
-  // depths of leaves
+  // depths with CLAMPED propagation (zlib gen_bitlen semantics: a child's
+  // depth derives from the parent's already-clamped depth, so every node
+  // overshoots by at most one level and the -2 repair accounting is exact)
   std::vector<int> depth(2 * m, 0);
-  for (int k = (int)(m + nodew.size()) - 2; k >= 0; k--)
-    if (parent[k] >= 0) depth[k] = depth[parent[k]] + 1;
-
-  // histogram with clamp + Kraft repair (classic overflow redistribution)
-  std::vector<int> cnt(max_bits + 1, 0);
   int overflow = 0;
-  for (size_t i = 0; i < m; i++) {
-    int d = depth[i];
-    if (d > max_bits) { overflow++; d = max_bits; }
-    cnt[d]++;
+  for (int k = (int)(m + nodew.size()) - 2; k >= 0; k--) {
+    if (parent[k] < 0) continue;
+    int d = depth[parent[k]] + 1;
+    if (d > max_bits) { d = max_bits; overflow++; }
+    depth[k] = d;
   }
+  std::vector<int> cnt(max_bits + 1, 0);
+  for (size_t i = 0; i < m; i++) cnt[depth[i]]++;
   while (overflow > 0) {
     int bits = max_bits - 1;
-    while (cnt[bits] == 0) bits--;
+    while (bits > 0 && cnt[bits] == 0) bits--;
+    if (bits == 0) break;  // cannot happen for a valid tree; safety only
     cnt[bits]--;
     cnt[bits + 1] += 2;
     cnt[max_bits]--;
@@ -672,15 +673,18 @@ long inflate_raw_impl(const uint8_t* in, size_t nin, uint8_t* out, size_t cap,
     } else {
       InfTable lt, dt;
       if (type == 1) {
-        // C++11 magic statics: thread-safe one-time build of fixed tables
+        // C++11 magic statics: thread-safe one-time build of fixed tables.
+        // The fixed dist tree is built over all 32 symbols (30/31 decode to
+        // invalid) because the RFC's fixed code is deliberately complete
+        // only at 32 — with 30 lengths it would be rejected as incomplete.
         static const std::pair<InfTable, InfTable> fixed = [] {
           std::pair<InfTable, InfTable> f;
           uint8_t l[288];
           for (int i = 0; i < 288; i++) l[i] = i < 144 ? 8 : i < 256 ? 9 : i < 280 ? 7 : 8;
           build_table(0, l, 288, 9, f.first);
-          uint8_t d[30];
-          for (int i = 0; i < 30; i++) d[i] = 5;
-          build_table(1, d, 30, 5, f.second);
+          uint8_t d[32];
+          for (int i = 0; i < 32; i++) d[i] = 5;
+          build_table(1, d, 32, 5, f.second);
           return f;
         }();
         lt = fixed.first;

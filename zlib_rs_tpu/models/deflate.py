@@ -333,9 +333,37 @@ class Deflator:
 
     # -- input management ---------------------------------------------------
 
+    def _maybe_prune(self) -> None:
+        """Bounded-memory sliding window (reference: fill_window's slide +
+        slide_hash, deflate.rs:1757-1842, slide_hash.rs).
+
+        Everything before min(block_start, strstart - wsize) can be
+        discarded. The drop amount is a multiple of wsize so that
+        `pos & wmask` indexing into `prev` stays consistent after rebasing
+        absolute positions.
+        """
+        keep_from = min(self.block_start, max(0, self.strstart - self.wsize))
+        drop = (keep_from // self.wsize) * self.wsize
+        if drop < 8 * self.wsize:
+            return
+        del self.buf[:drop]
+        nh = self.hashes.shape[0]
+        remaining = max(0, nh - drop)
+        if remaining:
+            self._hash_store[:remaining] = self._hash_store[drop:nh]
+        self.hashes = self._hash_store[:remaining]
+        # slide_hash: rebase chain entries, invalidating anything dropped
+        self.head = np.where(self.head >= drop, self.head - drop, -1)
+        self.prev = np.where(self.prev >= drop, self.prev - drop, -1)
+        self.strstart -= drop
+        self.block_start -= drop
+        self.inserted = max(0, self.inserted - drop)
+        self.base = max(0, self.base - drop)
+
     def _append_input(self, data: bytes) -> None:
         if not data:
             return
+        self._maybe_prune()
         n0 = len(self.buf)
         self.buf.extend(data)
         n1 = len(self.buf)
