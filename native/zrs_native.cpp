@@ -636,6 +636,16 @@ struct BitReader {
   int cnt = 0;
   BitReader(const uint8_t* b, size_t n) : p(b), end(b + n) {}
   inline void refill() {
+    if (p + 8 <= end) {
+      // branch-light 64-bit refill: top up to >= 56 bits in one load
+      uint64_t w;
+      std::memcpy(&w, p, 8);
+      buf |= w << cnt;
+      int added = (63 - cnt) & ~7;
+      p += added >> 3;
+      cnt += added;
+      return;
+    }
     while (cnt <= 56 && p < end) { buf |= (uint64_t)(*p++) << cnt; cnt += 8; }
   }
   inline uint32_t peek(int n) { return (uint32_t)(buf & ((1ull << n) - 1)); }
@@ -671,7 +681,8 @@ long inflate_raw_impl(const uint8_t* in, size_t nin, uint8_t* out, size_t cap,
     } else if (type == 3) {
       return -1;
     } else {
-      InfTable lt, dt;
+      InfTable lt_dyn, dt_dyn;
+      const InfTable *plt, *pdt;
       if (type == 1) {
         // C++11 magic statics: thread-safe one-time build of fixed tables.
         // The fixed dist tree is built over all 32 symbols (30/31 decode to
@@ -687,8 +698,8 @@ long inflate_raw_impl(const uint8_t* in, size_t nin, uint8_t* out, size_t cap,
           build_table(1, d, 32, 5, f.second);
           return f;
         }();
-        lt = fixed.first;
-        dt = fixed.second;
+        plt = &fixed.first;
+        pdt = &fixed.second;
       } else {
         if (!br.need(14)) return -3;
         int nlen = (int)br.peek(5) + 257; br.drop(5);
@@ -725,9 +736,13 @@ long inflate_raw_impl(const uint8_t* in, size_t nin, uint8_t* out, size_t cap,
           while (rep--) lens[have++] = (uint8_t)fill;
         }
         if (lens[256] == 0) return -1;
-        if (build_table(0, lens, nlen, 10, lt)) return -1;
-        if (build_table(1, lens + nlen, ndist, 9, dt)) return -1;
+        if (build_table(0, lens, nlen, 10, lt_dyn)) return -1;
+        if (build_table(1, lens + nlen, ndist, 9, dt_dyn)) return -1;
+        plt = &lt_dyn;
+        pdt = &dt_dyn;
       }
+      const InfTable& lt = *plt;
+      const InfTable& dt = *pdt;
       // decode loop
       for (;;) {
         if (!br.need(15)) { if (br.cnt == 0 && br.p >= br.end) return -3; }
