@@ -636,8 +636,11 @@ struct BitReader {
   int cnt = 0;
   BitReader(const uint8_t* b, size_t n) : p(b), end(b + n) {}
   inline void refill() {
+    // Invariant: bits [cnt, 64) of buf either are zero or duplicate the
+    // bytes at p (the fast path deposits 64 bits but only counts a multiple
+    // of 8), so OR-ing the next load over them is idempotent. Any code that
+    // JUMPS p (stored-block memcpy) must call clear_stale() first.
     if (p + 8 <= end) {
-      // branch-light 64-bit refill: top up to >= 56 bits in one load
       uint64_t w;
       std::memcpy(&w, p, 8);
       buf |= w << cnt;
@@ -646,8 +649,10 @@ struct BitReader {
       cnt += added;
       return;
     }
+    buf &= cnt ? (~0ull >> (64 - cnt)) : 0;  // tail path: drop duplicates
     while (cnt <= 56 && p < end) { buf |= (uint64_t)(*p++) << cnt; cnt += 8; }
   }
+  inline void clear_stale() { buf &= cnt ? (~0ull >> (64 - cnt)) : 0; }
   inline uint32_t peek(int n) { return (uint32_t)(buf & ((1ull << n) - 1)); }
   inline void drop(int n) { buf >>= n; cnt -= n; }
   inline bool need(int n) { if (cnt < n) refill(); return cnt >= n; }
@@ -677,6 +682,7 @@ long inflate_raw_impl(const uint8_t* in, size_t nin, uint8_t* out, size_t cap,
         if ((size_t)(br.end - br.p) < len) return -3;
         std::memcpy(out + op, br.p, len);
         br.p += len; op += len;
+        br.clear_stale();  // p jumped: bits above cnt no longer match *p
       }
     } else if (type == 3) {
       return -1;
