@@ -14,6 +14,7 @@ for zlib-rs, whose compressed sizes it matches in compat mode).
 """
 
 import json
+import os
 import sys
 import time
 import zlib
@@ -74,6 +75,46 @@ def main():
     _ = np.asarray(jnp.zeros((1,), jnp.uint32) + 1)
     _log("device reachable")
 
+    # sustained device throughput: one HBM-resident batch, steady-state loop
+    knobs = P._level_knobs(LEVEL)
+    flat = np.frombuffer(data, np.uint8)
+    arr = np.zeros((BATCH, CHUNK + lz77.PAD), np.uint8)
+    for k in range(BATCH):
+        seg = flat[k * CHUNK : (k + 1) * CHUNK]
+        arr[k, : seg.shape[0]] = seg
+    dc = jnp.asarray(arr)
+    nv = jnp.full((BATCH,), CHUNK, jnp.int32)
+    fins = jnp.zeros((BATCH,), jnp.int32)
+
+    def run_once():
+        return P._encode_batch(dc, nv, fins, chunk_size=CHUNK, dynamic=True, **knobs)
+
+    def measure():
+        jax.block_until_ready(run_once())  # warm
+        _log("device program compiled")
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run_once())
+            times.append(time.perf_counter() - t0)
+        return times
+
+    times = measure()
+    if min(times) > 1.0:
+        # a persistent-cache entry compiled under load can be pathologically
+        # autotuned; purge and recompile once
+        import shutil
+
+        _log("pathological cached executable suspected; purging jit cache")
+        shutil.rmtree(
+            os.path.expanduser("~/.cache/zlib_rs_tpu/jax"), ignore_errors=True
+        )
+        jax.clear_caches()
+        times = measure()
+    best = min(times)
+    dev_gbps = BATCH * CHUNK / best / 1e9
+    _log(f"device sustained {dev_gbps:.3f} GB/s (times {['%.4f' % t for t in times]})")
+
     # correctness + end-to-end (includes the tunnel transfers + host stitch)
     e2e_cold = e2e_gbps = 0.0
     comp = None
@@ -91,31 +132,6 @@ def main():
         _log(f"e2e warm {e2e_gbps:.4f} GB/s")
     except Exception as e:  # keep going: device metric may still work
         _log(f"e2e path failed: {e}")
-
-    # sustained device throughput: one HBM-resident batch, steady-state loop
-    knobs = P._level_knobs(LEVEL)
-    flat = np.frombuffer(data, np.uint8)
-    arr = np.zeros((BATCH, CHUNK + lz77.PAD), np.uint8)
-    for k in range(BATCH):
-        seg = flat[k * CHUNK : (k + 1) * CHUNK]
-        arr[k, : seg.shape[0]] = seg
-    dc = jnp.asarray(arr)
-    nv = jnp.full((BATCH,), CHUNK, jnp.int32)
-    fins = jnp.zeros((BATCH,), jnp.int32)
-
-    def run_once():
-        return P._encode_batch(dc, nv, fins, chunk_size=CHUNK, dynamic=True, **knobs)
-
-    jax.block_until_ready(run_once())  # warm
-    _log("device program compiled")
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run_once())
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    dev_gbps = BATCH * CHUNK / best / 1e9
-    _log(f"device sustained {dev_gbps:.3f} GB/s (times {['%.4f' % t for t in times]})")
 
     result = {
         "metric": f"parallel_deflate_level{LEVEL}_device_gbps",
