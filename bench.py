@@ -71,9 +71,10 @@ def main():
     from zlib_rs_tpu.parallel import pipeline as P
     from zlib_rs_tpu.parallel.pipeline import compress_parallel
 
-    # pay the tunnel's one-time first-fetch penalty on 4 bytes, not 4 MB
-    _ = np.asarray(jnp.zeros((1,), jnp.uint32) + 1)
-    _log("device reachable")
+    # NOTE: no device->host fetch may happen before the sustained-throughput
+    # measurement: the axon tunnel switches to a degraded ~12s-per-dispatch
+    # synchronous mode after the first fetch in a process.
+    _log("device measurement first (no prior fetch)")
 
     # sustained device throughput: one HBM-resident batch, steady-state loop
     knobs = P._level_knobs(LEVEL)
@@ -115,6 +116,23 @@ def main():
     dev_gbps = BATCH * CHUNK / best / 1e9
     _log(f"device sustained {dev_gbps:.3f} GB/s (times {['%.4f' % t for t in times]})")
 
+    # cross-check: N dispatches then ONE tiny drain fetch (bounds async
+    # enqueue optimism; the fetch flips the tunnel into degraded mode, so
+    # this is the LAST device interaction before e2e). Time-boxed: skip the
+    # field if the tunnel stalls.
+    anchored_gbps = None
+    try:
+        NCHAIN = 20
+        t0 = time.perf_counter()
+        for _ in range(NCHAIN):
+            out = run_once()
+        _ = np.asarray(out[1][:1])  # drain anchor
+        t_anchor = time.perf_counter() - t0
+        anchored_gbps = NCHAIN * BATCH * CHUNK / t_anchor / 1e9
+        _log(f"anchored lower bound {anchored_gbps:.3f} GB/s ({t_anchor:.2f}s incl. drain fetch)")
+    except Exception as e:
+        _log(f"anchored cross-check failed: {e}")
+
     # correctness + end-to-end (includes the tunnel transfers + host stitch)
     e2e_cold = e2e_gbps = 0.0
     comp = None
@@ -139,6 +157,7 @@ def main():
         "unit": "GB/s",
         "vs_baseline": round(dev_gbps / base_gbps, 2),
         "ratio_vs_zlib": round(len(comp) / len(zref), 4) if comp else None,
+        "anchored_gbps_lower_bound": round(anchored_gbps, 4) if anchored_gbps else None,
         "e2e_gbps_tunnel": round(e2e_gbps, 4),
         "e2e_cold_s": round(e2e_cold, 2),
         "baseline_cpu_zlib_gbps": round(base_gbps, 4),

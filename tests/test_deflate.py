@@ -347,3 +347,13 @@ def test_quickcheck_style_random_configs():
             assert zlib.decompress(comp, wb) == data
         # our own decoder, exact wrapper
         assert z.decompress(comp, window_bits=(wb if wb != 25 else 31) if wb < 0 or wb > 15 else wb) == data
+
+
+def test_stats_counters():
+    d = Deflator(DeflateConfig(level=6))
+    d.deflate(b"statistics " * 500, DeflateFlush.FINISH)
+    s = d.stats()
+    assert s["matches"] > 0 and s["literals"] > 0
+    assert s["match_bytes"] + s["literals"] == s["total_in"]
+    assert sum(s["blocks"].values()) >= 1
+    assert s["data_type"] == "Text"

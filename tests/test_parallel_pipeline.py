@@ -96,3 +96,19 @@ def test_ratio_sanity_at_scale():
     ours = len(compress_parallel(data, level=6, chunk_size=131072))
     ref = len(zlib.compress(data, 6))
     assert ours <= ref * 1.25  # vectorized matcher within 25% of zlib lazy
+
+
+def test_dictionary_priming_gains_and_correctness():
+    data = open("/bin/sh", "rb").read()[:80000]
+    primed = compress_parallel(data, level=6, chunk_size=16384, prime_dict=True)
+    unprimed = compress_parallel(data, level=6, chunk_size=16384, prime_dict=False)
+    assert zlib.decompress(primed) == data
+    assert zlib.decompress(unprimed) == data
+    assert len(primed) <= len(unprimed)  # priming never hurts
+
+
+def test_priming_off_for_single_chunk():
+    data = b"single chunk " * 100
+    a = compress_parallel(data, level=6, chunk_size=65536, prime_dict=True)
+    b = compress_parallel(data, level=6, chunk_size=65536, prime_dict=False)
+    assert a == b  # no previous chunk to prime from

@@ -223,6 +223,9 @@ class Deflator:
         self._match_available = False  # lazy matcher carry state
         self._prev_match = (0, 0)  # (length, dist) found at strstart-1
         self._block_types: list[str] = []  # introspection: emitted block kinds
+        self._n_literals = 0  # observability counters (SURVEY.md section 5:
+        self._n_matches = 0   # "counters as returned arrays — jit-friendly")
+        self._match_bytes = 0
 
     def copy(self) -> "Deflator":
         """deflateCopy (reference: deflate.rs:602): deep mid-stream clone."""
@@ -304,6 +307,22 @@ class Deflator:
     def pending_info(self) -> tuple[int, int]:
         """deflatePending (reference: lib.rs:1618): (bytes, bits) not yet out."""
         return len(self.pending), self.bw.bitcnt
+
+    def stats(self) -> dict:
+        """Observability counters (the TPU-era replacement for the
+        reference's ZLIB_DEBUG trace/sent_bits counters, SURVEY.md section 5):
+        blocks by type, symbol mix, match coverage."""
+        from collections import Counter
+
+        return {
+            "blocks": dict(Counter(self._block_types)),
+            "literals": self._n_literals,
+            "matches": self._n_matches,
+            "match_bytes": self._match_bytes,
+            "total_in": self.total_in,
+            "total_out": self.total_out,
+            "data_type": self.data_type.name,
+        }
 
     def bound(self, source_len: int) -> int:
         """deflateBound (reference: deflate.rs:3174-3268), wrap-aware.
@@ -463,10 +482,13 @@ class Deflator:
     def _tally_lit(self, byte: int) -> None:
         self.sym_dist.append(0)
         self.sym_lit.append(byte)
+        self._n_literals += 1
 
     def _tally_match(self, length: int, dist: int) -> None:
         self.sym_dist.append(dist)
         self.sym_lit.append(length)
+        self._n_matches += 1
+        self._match_bytes += length
 
     def _sym_full(self) -> bool:
         return len(self.sym_dist) >= self.lit_bufsize

@@ -82,7 +82,7 @@ def _prev_occurrence(h: jnp.ndarray) -> jnp.ndarray:
     return prev
 
 
-def _run_match_lengths(padded_u8: jnp.ndarray, n: int, n_valid) -> jnp.ndarray:
+def _run_match_lengths(padded_u8: jnp.ndarray, n: int, n_valid, valid_from=0) -> jnp.ndarray:
     """Exact dist-1 match length at every position: number of j >= i with
     data[j] == data[j-1], capped at MAX_MATCH. Handles long runs that the
     capped word scan would truncate."""
@@ -90,7 +90,7 @@ def _run_match_lengths(padded_u8: jnp.ndarray, n: int, n_valid) -> jnp.ndarray:
     eq_prev = jnp.concatenate(
         [jnp.zeros((1,), bool), padded_u8[1:n] == padded_u8[: n - 1]]
     )
-    eq_prev = eq_prev & (idx < n_valid)
+    eq_prev = eq_prev & (idx < n_valid) & (idx > valid_from)
     # next position where eq_prev is False, at or after i
     mism = jnp.where(eq_prev, n, idx)
     next_mism = lax.cummin(mism[::-1])[::-1]
@@ -130,6 +130,7 @@ def find_matches(
     chain_depth: int = 4,
     max_words: int = 16,
     lazy: bool = False,
+    valid_from=0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Best (length, dist) match at every position of one chunk.
 
@@ -137,13 +138,16 @@ def find_matches(
     Returns (length int32[N], dist int32[N]); length < MIN_MATCH => literal.
     Counterpart of longest_match (deflate/longest_match.rs:7-80) with chain
     budget `chain_depth` and word-scan cap `max_words` (run matches exact).
+    `valid_from` marks the first real byte (dictionary-primed chunks may
+    have an unused gap before a short dictionary).
     """
     n = padded_u8.shape[0] - PAD
     words = words_le32(padded_u8)
     h = hash4(words[:n])
     idx = jnp.arange(n, dtype=jnp.int32)
-    # positions beyond n_valid get a sentinel hash so they never pollute chains
-    h = jnp.where(idx < n_valid, h, (1 << HASH_BITS) + (idx & 0xFF))
+    # positions outside [valid_from, n_valid) get sentinel hashes so they
+    # never pollute chains or become match candidates
+    h = jnp.where((idx >= valid_from) & (idx < n_valid), h, (1 << HASH_BITS) + (idx & 0xFF))
     prev = _prev_occurrence(h)
 
     maxcap = jnp.clip(n_valid - idx, 0, MAX_MATCH).astype(jnp.int32)
@@ -163,8 +167,8 @@ def find_matches(
         cand = jnp.where(ok, cand, -1)
 
     # exact run matches (dist 1) rescue long runs from the word cap
-    run_len = _run_match_lengths(padded_u8, n, n_valid)
-    run_ok = (idx >= 1) & (run_len >= best_len) & (run_len >= MIN_MATCH)
+    run_len = _run_match_lengths(padded_u8, n, n_valid, valid_from)
+    run_ok = (idx > valid_from) & (run_len >= best_len) & (run_len >= MIN_MATCH)
     best_dist = jnp.where(run_ok & (run_len > best_len), 1, best_dist)
     best_len = jnp.where(run_ok, jnp.maximum(run_len, best_len), best_len)
 
@@ -185,24 +189,25 @@ def find_matches(
     return best_len, best_dist
 
 
-def greedy_parse(length: jnp.ndarray, n_valid) -> jnp.ndarray:
+def greedy_parse(length: jnp.ndarray, n_valid, start: int = 0) -> jnp.ndarray:
     """Token-start mask via pointer doubling.
 
     nxt[i] = i + max(length[i], 1); after ceil(log2 N) rounds of
     (scatter-max visited into nxt, nxt = nxt[nxt]) the visited set equals the
-    serial greedy tokenization's start positions.
+    serial greedy tokenization's start positions. `start` is the first
+    emittable position (bytes before it are dictionary context only).
     """
     n = length.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     step = jnp.maximum(length, 1)
     nxt = jnp.minimum(idx + step, n).astype(jnp.int32)
-    visited = jnp.zeros((n + 1,), jnp.int32).at[0].set(1)
+    visited = jnp.zeros((n + 1,), jnp.int32).at[start].set(1)
     rounds = int(np.ceil(np.log2(max(n, 2)))) + 1
     for _ in range(rounds):
         visited = visited.at[nxt].max(visited[:n])
         nxt = jnp.minimum(nxt[jnp.minimum(nxt, n - 1)], n)
         nxt = jnp.where(nxt <= idx, n, nxt)  # safety: strictly forward
-    return (visited[:n] > 0) & (idx < n_valid)
+    return (visited[:n] > 0) & (idx >= start) & (idx < n_valid)
 
 
 def bit_reverse_jax(v: jnp.ndarray, nbits: jnp.ndarray) -> jnp.ndarray:
@@ -333,7 +338,7 @@ def pack_bits(value: jnp.ndarray, nbits: jnp.ndarray, header_bits: int, out_word
     return words, total
 
 
-def encode_chunk_static(padded_u8: jnp.ndarray, n_valid, final, *, chain_depth=4, max_words=16, lazy=False):
+def encode_chunk_static(padded_u8: jnp.ndarray, n_valid, final, *, chain_depth=4, max_words=16, lazy=False, start=0, valid_from=0):
     """One chunk -> one static-Huffman deflate block (jittable).
 
     Returns (words u32[W], total_bits i32): the block header (BFINAL=final,
@@ -342,12 +347,13 @@ def encode_chunk_static(padded_u8: jnp.ndarray, n_valid, final, *, chain_depth=4
     """
     n = padded_u8.shape[0] - PAD
     length, dist = find_matches(
-        padded_u8, n_valid, chain_depth=chain_depth, max_words=max_words, lazy=lazy
+        padded_u8, n_valid, chain_depth=chain_depth, max_words=max_words,
+        lazy=lazy, valid_from=valid_from,
     )
     # materialize stage outputs: without barriers XLA fuses these producers
     # into the downstream gathers and recomputes them per access (1000x)
     length, dist = lax.optimization_barrier((length, dist))
-    tokens = greedy_parse(length, n_valid)
+    tokens = greedy_parse(length, n_valid, start)
     tokens = lax.optimization_barrier(tokens)
     value, nbits = token_codes_static(padded_u8, length, dist, tokens)
     value, nbits = lax.optimization_barrier((value, nbits))

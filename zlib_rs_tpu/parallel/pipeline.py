@@ -28,15 +28,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-# persistent compilation cache: the encoder programs are large (sorts +
-# gathers over 128K chunks) and recompiling them per process costs ~30-60s
-try:  # pragma: no cover - best effort
-    _cache_dir = os.path.expanduser("~/.cache/zlib_rs_tpu/jax")
-    os.makedirs(_cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+# NOTE: no persistent compilation cache. It was tried and reverted: cached
+# entries compiled under a loaded/degraded tunnel get pathological autotuning,
+# and CPU AOT entries reload with mismatched machine features ("could lead to
+# execution errors such as SIGILL") — a correctness hazard, not just speed.
 
 from ..config import DeflateConfig, Wrap, decode_window_bits_deflate
 from ..models.deflate import BitWriter, _scan_code_lengths
@@ -121,30 +116,42 @@ def _level_knobs(level: int) -> dict:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk_size", "chain_depth", "max_words", "lazy", "dynamic"),
+    static_argnames=(
+        "chunk_size", "chain_depth", "max_words", "lazy", "dynamic", "dict_size"
+    ),
 )
-def _encode_batch(chunks, n_valid, finals, *, chunk_size, chain_depth, max_words, lazy, dynamic):
-    """vmap'd chunk encoder: uint8[B, chunk+PAD] -> per-chunk block payloads.
+def _encode_batch(
+    chunks, n_valid, finals, valid_from=None, *,
+    chunk_size, chain_depth, max_words, lazy, dynamic, dict_size=0,
+):
+    """vmap'd chunk encoder: uint8[B, dict+chunk+PAD] -> block payloads.
 
     Static mode returns complete blocks; dynamic mode returns block bodies
-    plus the tree length arrays the host turns into headers.
+    plus the tree length arrays the host turns into headers. `dict_size`
+    bytes of previous-chunk context precede each chunk's data (the
+    deflateSetDictionary priming hook, SURVEY.md section 2e); `valid_from`
+    marks where real context starts when the dictionary is short.
     """
+    if valid_from is None:
+        valid_from = jnp.zeros_like(n_valid)
     if dynamic:
 
-        def one(chunk, nv):
+        def one(chunk, nv, vf):
             return dynhuff.encode_chunk_dynamic(
-                chunk, nv, chain_depth=chain_depth, max_words=max_words, lazy=lazy
+                chunk, nv, chain_depth=chain_depth, max_words=max_words,
+                lazy=lazy, start=dict_size, valid_from=vf,
             )
 
-        words, bits, ll_lens, d_lens = jax.vmap(one)(chunks, n_valid)
+        words, bits, ll_lens, d_lens = jax.vmap(one)(chunks, n_valid, valid_from)
     else:
 
-        def one_s(chunk, nv, fin):
+        def one_s(chunk, nv, fin, vf):
             return lz77.encode_chunk_static(
-                chunk, nv, fin, chain_depth=chain_depth, max_words=max_words, lazy=lazy
+                chunk, nv, fin, chain_depth=chain_depth, max_words=max_words,
+                lazy=lazy, start=dict_size, valid_from=vf,
             )
 
-        words, bits = jax.vmap(one_s)(chunks, n_valid, finals)
+        words, bits = jax.vmap(one_s)(chunks, n_valid, finals, valid_from)
         ll_lens = d_lens = None
     return words, bits, ll_lens, d_lens
 
@@ -156,7 +163,7 @@ def _adler_batch(chunks, n_valid):
     return checksum.adler32_batch_jax(chunks, n_valid)
 
 
-def _shard_inputs(mesh, chunks, n_valid, finals):
+def _shard_inputs(mesh, chunks, n_valid, finals, valid_from):
     """Lay the batch out over the mesh: chunks sharded on the batch axis; no
     cross-chunk communication exists until the host gather (ICI/DCN only
     moves compressed words back)."""
@@ -164,7 +171,8 @@ def _shard_inputs(mesh, chunks, n_valid, finals):
     chunks = jax.device_put(chunks, NamedSharding(mesh, P("chunks", None)))
     n_valid = jax.device_put(n_valid, shard)
     finals = jax.device_put(finals, shard)
-    return chunks, n_valid, finals
+    valid_from = jax.device_put(valid_from, shard)
+    return chunks, n_valid, finals, valid_from
 
 
 def _stored_blocks(data: bytes, final: bool) -> bytes:
@@ -223,6 +231,7 @@ def compress_parallel(
     chunk_size: int = DEFAULT_CHUNK,
     mesh: Mesh | None = None,
     return_index: bool = False,
+    prime_dict: bool = True,
 ):
     """Compress `data` into one valid zlib/gzip/raw stream, chunk-parallel.
 
@@ -237,14 +246,30 @@ def compress_parallel(
     wrap, wbits = decode_window_bits_deflate(window_bits)
     n = len(data)
     n_chunks = max(1, -(-n // chunk_size))
-    padded = np.zeros((n_chunks, chunk_size + lz77.PAD), np.uint8)
+    # dictionary priming: each chunk sees the previous 32 KiB as context
+    # (the deflateSetDictionary hook elevated into the parallel pipeline).
+    # Indexed streams must stay independently decodable (random access), so
+    # priming is mutually exclusive with return_index — the same trade-off
+    # pigz makes with its --independent flag.
+    if return_index:
+        prime_dict = False
+    dict_size = 32768 if (prime_dict and level >= 2 and n_chunks > 1) else 0
+    padded = np.zeros((n_chunks, dict_size + chunk_size + lz77.PAD), np.uint8)
     flat = np.frombuffer(data, np.uint8)
+    valid_from = np.zeros(n_chunks, np.int32)
     for k in range(n_chunks):
         seg = flat[k * chunk_size : (k + 1) * chunk_size]
-        padded[k, : seg.shape[0]] = seg
-    n_valid = np.array(
+        padded[k, dict_size : dict_size + seg.shape[0]] = seg
+        dlen = min(dict_size, k * chunk_size)
+        if dlen:
+            padded[k, dict_size - dlen : dict_size] = flat[
+                k * chunk_size - dlen : k * chunk_size
+            ]
+        valid_from[k] = dict_size - dlen
+    data_len = np.array(
         [min(chunk_size, max(0, n - k * chunk_size)) for k in range(n_chunks)], np.int32
     )
+    n_valid = (data_len + dict_size).astype(np.int32)
     finals = np.zeros(n_chunks, np.int32)
     finals[-1] = 1
 
@@ -263,25 +288,32 @@ def compress_parallel(
         )
         n_valid_dev = np.concatenate([n_valid, np.zeros(pad_rows, np.int32)])
         finals_dev = np.concatenate([finals, np.zeros(pad_rows, np.int32)])
+        valid_from_dev = np.concatenate(
+            [valid_from, np.full(pad_rows, dict_size, np.int32)]
+        )
     else:
-        n_valid_dev, finals_dev = n_valid, finals
+        n_valid_dev, finals_dev, valid_from_dev = n_valid, finals, valid_from
 
     parts_words, parts_bits, parts_adler = [], [], []
     parts_ll, parts_d = [], []
     for b0 in range(0, n_chunks, batch):
         sl = slice(b0, b0 + batch)
         if mesh is not None:
-            dc, dn, df = _shard_inputs(
-                mesh, padded[sl], n_valid_dev[sl], finals_dev[sl]
+            dc, dn, df, dv = _shard_inputs(
+                mesh, padded[sl], n_valid_dev[sl], finals_dev[sl], valid_from_dev[sl]
             )
         else:
             dc = jnp.asarray(padded[sl])
             dn = jnp.asarray(n_valid_dev[sl])
             df = jnp.asarray(finals_dev[sl])
+            dv = jnp.asarray(valid_from_dev[sl])
         words, bits, ll_lens, d_lens = _encode_batch(
-            dc, dn, df, chunk_size=chunk_size, dynamic=dynamic, **knobs
+            dc, dn, df, dv,
+            chunk_size=chunk_size, dynamic=dynamic, dict_size=dict_size, **knobs
         )
-        adlers = _adler_batch(dc[:, :chunk_size], dn)
+        adlers = _adler_batch(
+            dc[:, dict_size : dict_size + chunk_size], dn - dict_size
+        )
         parts_words.append(words)
         parts_bits.append(bits)
         parts_adler.append(adlers)
@@ -313,7 +345,7 @@ def compress_parallel(
             payloads.append((words_np[k].view(np.uint8)[:nbytes].tobytes(), total_bits))
 
     chunks_raw = [
-        data[k * chunk_size : k * chunk_size + int(n_valid[k])] for k in range(n_chunks)
+        data[k * chunk_size : k * chunk_size + int(data_len[k])] for k in range(n_chunks)
     ]
     body, index = _assemble(payloads, chunks_raw, n_chunks)
 
@@ -332,7 +364,7 @@ def compress_parallel(
         # tree-combine the per-chunk adlers (reference: adler32_combine)
         a = 1
         for k in range(n_chunks):
-            a = checksum.adler32_combine(a, int(adlers_np[k]), int(n_valid[k]))
+            a = checksum.adler32_combine(a, int(adlers_np[k]), int(data_len[k]))
         out.extend(a.to_bytes(4, "big"))
     elif wrap == Wrap.Gzip:
         # batched device crc32 over full chunks, host tail, tree-combine
