@@ -155,6 +155,13 @@ def main():
         "metric": f"parallel_deflate_level{LEVEL}_device_gbps",
         "value": round(dev_gbps, 4),
         "unit": "GB/s",
+        "measurement_caveat": (
+            "value = block_until_ready dispatch loop (standard JAX idiom). "
+            "On this tunneled single-chip attachment the anchored drain "
+            "cross-check (anchored_gbps_lower_bound) runs orders of magnitude "
+            "slower; whether that reflects true device compute or per-dispatch "
+            "tunnel protocol cost is not distinguishable from the host."
+        ),
         "vs_baseline": round(dev_gbps / base_gbps, 2),
         "ratio_vs_zlib": round(len(comp) / len(zref), 4) if comp else None,
         "anchored_gbps_lower_bound": round(anchored_gbps, 4) if anchored_gbps else None,
