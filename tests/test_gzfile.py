@@ -185,3 +185,14 @@ def test_buffer_size_variants(tmp_path):
         f.write(DATA)
     with gzopen(p, "rb", buffer_size=16) as f:
         assert f.read() == DATA
+
+
+def test_set_params_mid_file(tmp_path):
+    from zlib_rs_tpu.config import Strategy
+
+    p = tmp_path / "x.gz"
+    with gzopen(p, "wb1") as f:
+        f.write(DATA[: len(DATA) // 2])
+        f.set_params(9, Strategy.Default)
+        f.write(DATA[len(DATA) // 2 :])
+    assert gzip.decompress(p.read_bytes()) == DATA

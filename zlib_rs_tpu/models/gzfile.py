@@ -345,6 +345,21 @@ class GzFile:
         """gzbuffer."""
         self.buffer_size = max(8, size)
 
+    def set_params(self, level: int, strategy: Strategy = Strategy.Default) -> None:
+        """gzsetparams (reference: gz.rs gzsetparams): change compression
+        parameters mid-file; buffered data is flushed under the old ones."""
+        if self.mode not in ("w", "a") or self._def is None:
+            self._set_err(ReturnCode.StreamError, "not a compressed write stream")
+        self._def.deflate(b"", DeflateFlush.SYNC_FLUSH)
+        out = self._def.take_output()
+        if out:
+            self._fp.write(out)
+        rc = self._def.params(level, strategy)
+        if rc != ReturnCode.Ok:
+            self._set_err(rc, "invalid parameters")
+        self.level = level
+        self.strategy = strategy
+
     # -- lifecycle -----------------------------------------------------------
 
     def close(self) -> None:
