@@ -1,0 +1,37 @@
+"""Pallas kernel tests (interpret mode on the CPU suite; the same kernel
+compiles for TPU via adler32_batch_auto's backend dispatch)."""
+
+import zlib
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from zlib_rs_tpu.ops.pallas.checksum_kernels import adler32_batch_pallas
+
+rng = np.random.default_rng(123)
+
+
+@pytest.mark.parametrize("n", [4096, 16384, 131072])
+def test_adler_kernel_matches_zlib(n):
+    B = 8
+    data = rng.integers(0, 256, (B, n), dtype=np.uint8)
+    lens = np.array([n, n - 1, n // 2, 1, 0, n - 4095, 4096, n // 3], np.int32)
+    for k in range(B):
+        data[k, lens[k] :] = 0
+    out = np.asarray(
+        adler32_batch_pallas(jnp.asarray(data), jnp.asarray(lens), interpret=True)
+    )
+    for k in range(B):
+        assert int(out[k]) == zlib.adler32(bytes(data[k, : lens[k]])), k
+
+
+def test_adler_kernel_rejects_bad_shapes():
+    with pytest.raises(ValueError):
+        adler32_batch_pallas(
+            jnp.zeros((8, 1000), jnp.uint8), jnp.zeros((8,), jnp.int32), interpret=True
+        )
+    with pytest.raises(ValueError):
+        adler32_batch_pallas(
+            jnp.zeros((3, 4096), jnp.uint8), jnp.zeros((3,), jnp.int32), interpret=True
+        )
