@@ -28,6 +28,36 @@ def _deflate_config(config, level, window_bits, strategy) -> DeflateConfig:
     )
 
 
+def _try_native_compress(data: bytes, level: int, window_bits: int):
+    """C++ fast path for the common one-shot shapes (zlib/gzip/raw at
+    default strategy). Returns None when the host engine must handle it."""
+    if window_bits not in (15, 31, -15):
+        return None
+    try:
+        from .. import native
+
+        if not native.available():
+            return None
+        raw = native.deflate_chunk(data, level=level, final=True)
+    except Exception:
+        return None
+    from ..ops import checksum
+
+    if window_bits == -15:
+        return raw
+    if window_bits == 15:
+        flevel = 0 if level < 2 else 1 if level < 6 else 2 if level == 6 else 3
+        cmf = 0x78
+        flg = flevel << 6
+        flg |= (31 - (cmf * 256 + flg) % 31) % 31
+        return bytes([cmf, flg]) + raw + checksum.adler32(data).to_bytes(4, "big")
+    hdr = bytes([0x1F, 0x8B, 8, 0, 0, 0, 0, 0, 2 if level == 9 else 0, 3])
+    tail = checksum.crc32(data).to_bytes(4, "little") + (
+        len(data) & 0xFFFFFFFF
+    ).to_bytes(4, "little")
+    return hdr + raw + tail
+
+
 def compress(
     data: bytes,
     level: int | None = None,
@@ -37,7 +67,17 @@ def compress(
     config: DeflateConfig | None = None,
 ) -> bytes:
     """One-shot compress. Default output is a zlib stream (window_bits=15);
-    use window_bits=31 for gzip, negative for raw deflate."""
+    use window_bits=31 for gzip, negative for raw deflate.
+
+    Common shapes route through the C++ native engine (the reference's
+    native hot path); anything else uses the host reference engine.
+    """
+    if config is None and strategy == Strategy.Default:
+        lvl = 6 if level is None or level == Z_DEFAULT_COMPRESSION else level
+        if 0 <= lvl <= 9:
+            fast = _try_native_compress(bytes(data), lvl, window_bits)
+            if fast is not None:
+                return fast
     return _deflate.compress(data, _deflate_config(config, level, window_bits, strategy))
 
 
@@ -55,13 +95,82 @@ def compress_bound(
     )
 
 
+def _try_native_decompress(data: bytes, window_bits: int):
+    """C++ fast path for well-formed zlib/gzip/raw inputs; None on anything
+    unusual (FDICT, truncation, errors) so the host engine supplies the
+    exact error taxonomy."""
+    try:
+        from .. import native
+
+        if not native.available():
+            return None
+        from ..ops import checksum
+
+        def grow(payload):
+            cap = max(1 << 16, len(payload) * 4)
+            while True:
+                try:
+                    return native.inflate_raw(payload, cap)
+                except BufferError:
+                    cap *= 4
+
+        if window_bits == -15:
+            out, _ = grow(data)
+            return out
+        if data[:2] == b"\x1f\x8b" and window_bits in (31, 47):
+            flg = data[3]
+            i = 10
+            if flg & 0x04:
+                i += 2 + int.from_bytes(data[i : i + 2], "little")
+            if flg & 0x08:
+                i = data.index(0, i) + 1
+            if flg & 0x10:
+                i = data.index(0, i) + 1
+            if flg & 0x02:
+                i += 2
+            out, used = grow(data[i:])
+            if len(data) < i + used + 8:  # truncated trailer
+                return None
+            if checksum.crc32(out) != int.from_bytes(data[i + used : i + used + 4], "little"):
+                return None
+            if int.from_bytes(data[i + used + 4 : i + used + 8], "little") != (
+                len(out) & 0xFFFFFFFF
+            ):
+                return None
+            return out
+        if (
+            window_bits in (15, 47)
+            and len(data) >= 2
+            and (data[0] & 0x0F) == 8
+            and (data[0] >> 4) <= 7
+            and ((data[0] << 8) | data[1]) % 31 == 0
+            and not (data[1] & 0x20)  # FDICT needs the host NeedDict path
+        ):
+            out, used = grow(data[2:])
+            if checksum.adler32(out) != int.from_bytes(data[2 + used : 6 + used], "big"):
+                return None
+            return out
+        return None
+    except Exception:
+        return None
+
+
 def decompress(
     data: bytes,
     *,
     window_bits: int = 47,  # auto-detect zlib/gzip by default
     config: InflateConfig | None = None,
 ) -> bytes:
-    """One-shot decompress with zlib/gzip auto-detection by default."""
+    """One-shot decompress with zlib/gzip auto-detection by default.
+
+    Well-formed common inputs route through the C++ native engine; anything
+    unusual (dictionaries, damage, odd window sizes) falls back to the host
+    reference engine, which owns the exact error behavior.
+    """
+    if config is None:
+        fast = _try_native_decompress(bytes(data), window_bits)
+        if fast is not None:
+            return fast
     cfg = config if config is not None else InflateConfig(window_bits=window_bits)
     return _inflate.decompress(data, cfg)
 
