@@ -180,18 +180,24 @@ def main():
     except Exception as e:
         _log(f"fetch-phase failed: {e}")
 
+    # headline: the anchored wall-clock number when available (N dispatches
+    # + one drain fetch — immune to async-dispatch optimism); the
+    # block_until_ready loop is reported alongside (on this tunneled
+    # attachment it can overstate by pipelining enqueues).
+    headline = anchored_gbps if anchored_gbps else dev_gbps
     result = {
         "metric": f"parallel_deflate_level{LEVEL}_device_gbps",
-        "value": round(dev_gbps, 4),
+        "value": round(headline, 4),
         "unit": "GB/s",
         "measurement_caveat": (
-            "value = block_until_ready dispatch loop (standard JAX idiom), "
-            "HBM-resident batches. The chip is attached through a network "
-            "tunnel whose device->host fetch path can degrade or wedge; the "
-            "anchored_gbps_lower_bound cross-check (when present) bounds any "
-            "async-dispatch optimism, and e2e numbers are transport-bound."
+            "value = anchored wall-clock (20 HBM-resident batches + one drain "
+            "fetch) when available, else the block_until_ready dispatch loop. "
+            "The attached chip sits behind a network tunnel whose fetch path "
+            "can degrade or wedge; dispatch_loop_gbps shows the standard JAX "
+            "timing idiom's (possibly optimistic) reading on the same program."
         ),
-        "vs_baseline": round(dev_gbps / base_gbps, 2),
+        "dispatch_loop_gbps": round(dev_gbps, 4),
+        "vs_baseline": round(headline / base_gbps, 2),
         "ratio_vs_zlib": round(ratio, 4) if ratio else None,
         "anchored_gbps_lower_bound": round(anchored_gbps, 4) if anchored_gbps else None,
         "e2e_gbps_tunnel": round(e2e_gbps, 4),
