@@ -659,14 +659,19 @@ struct BitReader {
   size_t consumed(const uint8_t* start) const { return (p - start) - cnt / 8; }
 };
 
-// returns out length, or -1 on data error, -2 on output overflow, -3 truncated
+// returns out length, or -1 on data error, -2 on output overflow, -3 truncated.
+// With allow_region_end, input ending cleanly at a block boundary is success
+// (chunk bodies from the parallel seam format have no BFINAL).
 long inflate_raw_impl(const uint8_t* in, size_t nin, uint8_t* out, size_t cap,
-                      size_t* in_used) {
+                      size_t* in_used, bool allow_region_end = false) {
   BitReader br(in, nin);
   size_t op = 0;
   static const int ORDER[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
   for (;;) {
-    if (!br.need(3)) return -3;
+    if (!br.need(3)) {
+      if (allow_region_end && br.cnt < 3) { if (in_used) *in_used = nin; return (long)op; }
+      return -3;
+    }
     int final_f = br.peek(1); br.drop(1);
     int type = br.peek(2); br.drop(2);
     if (type == 0) {
@@ -904,6 +909,38 @@ long zrs_deflate_parallel(const uint8_t* in, size_t n, int level, size_t chunk,
   size_t off = 0;
   for (auto& p : parts) { std::memcpy(out_buf + off, p.data(), p.size()); off += p.size(); }
   return (long)total;
+}
+
+// Parallel inflate of independent raw-deflate regions (indexed chunks from
+// the pigz-style stream format): each region decodes on its own thread into
+// its slot of the output buffer. Returns total output bytes, or -(k+1) when
+// region k failed.
+long zrs_inflate_parallel(const uint8_t* in, const uint64_t* offs,
+                          const uint64_t* lens, const uint64_t* out_offs,
+                          const uint64_t* out_sizes, size_t nchunks,
+                          uint8_t* out_buf, int nthreads) {
+  if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
+  nthreads = std::max(1, std::min<int>(nthreads, (int)nchunks));
+  std::vector<long> results(nchunks, 0);
+  std::atomic_size_t next{0};
+  auto worker = [&]() {
+    for (;;) {
+      size_t k = next.fetch_add(1);
+      if (k >= nchunks) return;
+      size_t used = 0;
+      results[k] = inflate_raw_impl(in + offs[k], lens[k], out_buf + out_offs[k],
+                                    out_sizes[k], &used, /*allow_region_end=*/true);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  long total = 0;
+  for (size_t k = 0; k < nchunks; k++) {
+    if (results[k] < 0) return -(long)(k + 1);
+    total += results[k];
+  }
+  return total;
 }
 
 }  // extern "C"

@@ -100,3 +100,17 @@ def test_stored_chunks_mixed_with_coded():
     data = rand + text
     comp, idx = compress_parallel(data, level=6, chunk_size=4096, return_index=True)
     assert decompress_parallel(comp, idx) == data
+
+
+def test_native_threaded_parallel_inflate():
+    from zlib_rs_tpu import native
+
+    if not native.available():
+        pytest.skip("no native build")
+    data = open("/bin/sh", "rb").read()
+    comp, idx = compress_parallel(data, level=6, chunk_size=32768, return_index=True)
+    out = native.inflate_parallel(comp, idx, nthreads=4)
+    assert out == data
+    # via the public entry point, both engines agree
+    assert decompress_parallel(comp, idx, engine="native") == data
+    assert decompress_parallel(comp, idx, engine="tpu") == data

@@ -73,6 +73,12 @@ def _load():
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_size_t,
             ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_size_t,
         ]
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.zrs_inflate_parallel.restype = ctypes.c_long
+        lib.zrs_inflate_parallel.argtypes = [
+            ctypes.c_char_p, u64p, u64p, u64p, u64p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -123,6 +129,33 @@ def inflate_raw(data: bytes, max_out: int) -> tuple[bytes, int]:
     if rc == -3:
         raise ValueError("truncated deflate data")
     return out.raw[:rc], used.value
+
+
+def inflate_parallel(data: bytes, index, nthreads: int = 0) -> bytes:
+    """Threaded decode of independently decodable indexed chunks
+    ([(body_offset, body_len, out_len), ...] as produced by
+    compress_parallel(..., return_index=True))."""
+    lib = _load()
+    n = len(index)
+    offs = (ctypes.c_uint64 * n)(*[o for o, _, _ in index])
+    lens = (ctypes.c_uint64 * n)(*[l for _, l, _ in index])
+    sizes = [s for _, _, s in index]
+    out_offs_list = [0] * n
+    acc = 0
+    for k in range(n):
+        out_offs_list[k] = acc
+        acc += sizes[k]
+    out_offs = (ctypes.c_uint64 * n)(*out_offs_list)
+    out_sizes = (ctypes.c_uint64 * n)(*sizes)
+    out = ctypes.create_string_buffer(max(acc, 1))
+    rc = lib.zrs_inflate_parallel(
+        bytes(data), offs, lens, out_offs, out_sizes, n, out, nthreads
+    )
+    if rc < 0:
+        raise ValueError(f"chunk {-rc - 1} failed to decode")
+    if rc != acc:
+        raise ValueError(f"decoded {rc} bytes, expected {acc}")
+    return out.raw[:acc]
 
 
 def deflate_parallel(

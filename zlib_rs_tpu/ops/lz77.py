@@ -17,8 +17,9 @@ instead of translated:
     scatter-max mark exactly the token positions the serial greedy scan
     would visit;
   * bit packing  -> per-token (value, nbits) fusion (≤31 bits with static
-    trees), exclusive prefix sum of bit lengths, and carry-free scatter-adds
-    into a u32 word array (token bit ranges are disjoint, so ADD == OR).
+    trees), exclusive prefix sum of bit lengths, then OUTPUT-driven packing:
+    every output bit binary-searches its source token (TPU scatters
+    serialize on collision; gathers are fast).
 
 Everything is fixed-shape and jittable; chunks are the unit of data
 parallelism (vmap over a batch, shard_map over a mesh — parallel/pipeline.py).

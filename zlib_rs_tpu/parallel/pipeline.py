@@ -391,19 +391,31 @@ def compress_parallel(
     return bytes(out)
 
 
-def decompress_parallel(data: bytes, index) -> bytes:
+def decompress_parallel(data: bytes, index, engine: str = "auto") -> bytes:
     """Decode a stream produced by compress_parallel using its chunk index:
-    every chunk body decodes independently (batched on device), outputs are
-    concatenated in order, and the container checksum is verified."""
+    every chunk body decodes independently — threaded in the C++ engine
+    ("native", the default when available) or batched on device ("tpu") —
+    outputs concatenate in order and the container checksum is verified."""
     from . import inflate as pinf
     from ..models import oneshot
 
     if index is None:
         return oneshot.decompress(data)
-    bodies = [data[off : off + ln] for off, ln, _ in index]
-    out_sizes = [out_len for _, _, out_len in index]
-    parts = pinf.decompress_chunks(bodies, out_sizes)
-    result = b"".join(parts)
+    result = None
+    if engine in ("auto", "native"):
+        from .. import native
+
+        if native.available():
+            try:
+                result = native.inflate_parallel(data, index)
+            except ValueError:
+                if engine == "native":
+                    raise
+    if result is None:
+        bodies = [data[off : off + ln] for off, ln, _ in index]
+        out_sizes = [out_len for _, _, out_len in index]
+        parts = pinf.decompress_chunks(bodies, out_sizes)
+        result = b"".join(parts)
     # verify the container checksum (zlib/gzip/raw sniff)
     if data[:2] == b"\x1f\x8b":
         if checksum.crc32(result) != int.from_bytes(data[-8:-4], "little"):
