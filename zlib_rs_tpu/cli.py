@@ -74,7 +74,9 @@ def _wrap_raw(raw: bytes, data: bytes, fmt: str, level: int) -> bytes:
         flg = flevel << 6
         flg |= (31 - (cmf * 256 + flg) % 31) % 31
         return bytes([cmf, flg]) + raw + checksum.adler32(data).to_bytes(4, "big")
-    hdr = bytes([0x1F, 0x8B, 8, 0, 0, 0, 0, 0, 2 if level == 9 else 0, 3])
+    # XFL rule matches models/deflate._emit_header: 2=max (9), 4=fast (<2)
+    xfl = 2 if level == 9 else (4 if level < 2 else 0)
+    hdr = bytes([0x1F, 0x8B, 8, 0, 0, 0, 0, 0, xfl, 3])
     tail = checksum.crc32(data).to_bytes(4, "little") + (
         len(data) & 0xFFFFFFFF
     ).to_bytes(4, "little")

@@ -280,6 +280,7 @@ class Deflator:
             self.sym_dist or self.strstart > self.block_start
         ):
             self._compress_pending_input(final=False)
+            self._resolve_deferred()
             if self.sym_dist or self.strstart > self.block_start:
                 self._flush_block(last=False)
         self.level = level
@@ -288,7 +289,16 @@ class Deflator:
         return ReturnCode.Ok
 
     def tune(self, good_length: int, max_lazy: int, nice_length: int, max_chain: int) -> ReturnCode:
-        """deflateTune (reference: deflate.rs:811)."""
+        """deflateTune (reference: deflate.rs:811-825).
+
+        The reference truncates each knob to u16 and accepts any value; we
+        additionally reject values a u16 cannot represent (negative or
+        > 65535) with StreamError instead of silently wrapping, since a
+        negative chain budget would corrupt the matcher's loop bounds.
+        """
+        for v in (good_length, max_lazy, nice_length, max_chain):
+            if not isinstance(v, int) or not (0 <= v <= 0xFFFF):
+                return ReturnCode.StreamError
         self.good_length = good_length
         self.max_lazy = max_lazy
         self.nice_length = nice_length
@@ -608,9 +618,17 @@ class Deflator:
             if self._match_available:
                 plen, pdist = self._prev_match
                 if length > plen:
-                    # previous position becomes a literal; keep searching
+                    # Previous position becomes a literal; keep searching.
+                    # Flush (if due) BEFORE advancing past pos: the deferred
+                    # match at pos belongs to the next block, and the block's
+                    # byte coverage [block_start, strstart) must end at pos
+                    # (zlib's deflate_slow flushes with strstart un-advanced).
                     self._tally_lit(self.buf[pos - 1])
                     self._prev_match = (length, dist)
+                    if self._sym_full():
+                        self._flush_block(last=False)
+                    self.strstart += 1
+                    continue
                 else:
                     # emit the previous match, starting at pos-1
                     self._tally_match(plen, pdist)
@@ -627,17 +645,25 @@ class Deflator:
                 else:
                     self._tally_lit(self.buf[pos])
             self.strstart += 1
-            if self._sym_full():
+            if not self._match_available and self._sym_full():
                 self._flush_block(last=False)
         if final and self._match_available:
-            # trailing deferred position resolves to its match or a literal
-            plen, pdist = self._prev_match
-            if plen >= MIN_MATCH and self.strstart - 1 + plen <= len(self.buf):
-                self._tally_match(plen, pdist)
-                self.strstart = self.strstart - 1 + plen
-            else:
-                self._tally_lit(self.buf[self.strstart - 1])
-            self._match_available = False
+            self._resolve_deferred()
+
+    def _resolve_deferred(self) -> None:
+        """Resolve a pending lazy deferral (position strstart-1) to its match
+        or a literal. Must run before any _flush_block while the lazy matcher
+        has carry state, so block byte-coverage and symbols stay in step."""
+        if not self._match_available:
+            return
+        plen, pdist = self._prev_match
+        if plen >= MIN_MATCH and self.strstart - 1 + plen <= len(self.buf):
+            self._tally_match(plen, pdist)
+            self._insert_hashes_upto(min(self.strstart - 1 + plen, self.hashes.shape[0]))
+            self.strstart = self.strstart - 1 + plen
+        else:
+            self._tally_lit(self.buf[self.strstart - 1])
+        self._match_available = False
 
     # -- block emission ------------------------------------------------------
 

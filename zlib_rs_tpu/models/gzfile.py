@@ -164,7 +164,13 @@ class GzFile:
         while True:
             if not self._inbuf and not self._fill_in():
                 if self._inf is not None and self._inf.total_in > 0:
-                    pass  # truncated member: deliver what we have
+                    # Truncated member: the inflater started but never saw
+                    # StreamEnd. gzread reports an error here (gz.rs gz_decomp
+                    # "unexpected end of file"), not a clean EOF.
+                    from .inflate import Mode as _IMode
+
+                    if self._inf.mode not in (_IMode.DONE,):
+                        self._set_err(ReturnCode.BufError, "unexpected end of file")
                 return False
             rc, consumed, out = self._inf.inflate(
                 self._inbuf, None, InflateFlush.NO_FLUSH

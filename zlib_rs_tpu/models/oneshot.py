@@ -51,7 +51,10 @@ def _try_native_compress(data: bytes, level: int, window_bits: int):
         flg = flevel << 6
         flg |= (31 - (cmf * 256 + flg) % 31) % 31
         return bytes([cmf, flg]) + raw + checksum.adler32(data).to_bytes(4, "big")
-    hdr = bytes([0x1F, 0x8B, 8, 0, 0, 0, 0, 0, 2 if level == 9 else 0, 3])
+    # XFL rule must match the host engine's _emit_header (deflate.py):
+    # 2 = max compression (level 9), 4 = fastest (level < 2)
+    xfl = 2 if level == 9 else (4 if level < 2 else 0)
+    hdr = bytes([0x1F, 0x8B, 8, 0, 0, 0, 0, 0, xfl, 3])
     tail = checksum.crc32(data).to_bytes(4, "little") + (
         len(data) & 0xFFFFFFFF
     ).to_bytes(4, "little")

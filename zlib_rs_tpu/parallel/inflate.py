@@ -329,8 +329,11 @@ def _resolve_lz(lits, lens, dists, nsym, out_size: int):
             return val, nk, src
 
         # max chain depth: a match byte's source may itself be a match byte;
-        # doubling halves the chain every round — 18 rounds covers 2^18 deep
-        val, known, src = lax.fori_loop(0, 18, round_fn, (val, known, src))
+        # doubling halves the chain every round, so ceil(log2(out_size))+1
+        # rounds resolves any chain the chunk can express (a dist-1 run of
+        # out_size bytes is out_size deep)
+        rounds = max(1, (max(out_size, 2) - 1).bit_length() + 1)
+        val, known, src = lax.fori_loop(0, rounds, round_fn, (val, known, src))
         return jnp.where(within, val, 0), tot
 
     return jax.vmap(one)(lits, lens, dists, outpos, total)
