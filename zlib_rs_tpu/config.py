@@ -139,16 +139,20 @@ class Config:
     func: str  # which block algorithm family: stored/quick/fast/medium/slow
 
 
-# Level -> tuning, mirroring zlib-ng's CONFIGURATION_TABLE semantics
-# (reference: zlib-rs/src/deflate/algorithm/mod.rs:69-82).
+# Level -> tuning. This is classic zlib's configuration_table (the live
+# oracle our bit-exactness tests pin against): levels 1-3 use the greedy
+# `fast` algorithm, 4-9 the lazy `slow` algorithm. The reference's zlib-ng
+# table (deflate/algorithm/mod.rs:69-82) adds quick/medium families with
+# different knobs; those are available to the TPU pipeline as tuning
+# presets, but the host/native engines follow the oracle.
 CONFIGURATION_TABLE: dict[int, Config] = {
     0: Config(0, 0, 0, 0, "stored"),
-    1: Config(0, 0, 0, 0, "quick"),
-    2: Config(4, 4, 8, 4, "fast"),
-    3: Config(4, 6, 16, 6, "medium"),
-    4: Config(4, 12, 32, 24, "medium"),
-    5: Config(8, 16, 32, 32, "medium"),
-    6: Config(8, 16, 128, 128, "medium"),
+    1: Config(4, 4, 8, 4, "fast"),
+    2: Config(4, 5, 16, 8, "fast"),
+    3: Config(4, 6, 32, 32, "fast"),
+    4: Config(4, 4, 16, 16, "slow"),
+    5: Config(8, 16, 32, 32, "slow"),
+    6: Config(8, 16, 128, 128, "slow"),
     7: Config(8, 32, 128, 256, "slow"),
     8: Config(32, 128, 258, 1024, "slow"),
     9: Config(32, 258, 258, 4096, "slow"),

@@ -9,19 +9,22 @@ framing with full gzip header control, streaming flush semantics
 parameter changes, bit-level priming, pending introspection, bound formulas,
 and mid-stream copy.
 
-Architecture notes (TPU-first design, not a translation):
-  * Match finding uses the same *contract* as the reference (4-byte Knuth
-    multiplicative hash, chained candidates, chain budget with good_length
-    quartering, nice_length cutoff, lazy/greedy selection per level) but the
-    code is organized around an append-only input buffer with absolute
+Architecture notes:
+  * The engine is **bit-exact with the live zlib oracle** at levels 1-9 for
+    every strategy/mem_level/wrapper and any streaming chunking + flush
+    pattern (tests/test_bitexact.py) — the same differential property the
+    reference pins against zlib-ng (end_to_end.rs:42). That fixes: the
+    3-byte rolling hash (the reference's RollHashCalc family), exact
+    longest_match walk order/budget/clamps including the zero-padded window
+    compare, greedy (levels 1-3) and lazy (4-9) loops with zlib's insertion
+    policy, the NIL==0 window-position quirk (stream start and FULL_FLUSH
+    resets), sym-buffer flush at lit_bufsize-1, and the zlib-exact tree
+    layer in models/trees.py.
+  * The code is organized around an append-only input buffer with absolute
     positions and vectorized hash precomputation — the same layout the
     chunk-parallel TPU matcher uses (ops/lz77.py), so the two paths share
-    decision semantics.
-  * Huffman code lengths come from package-merge (ops/huffman.py), which is
-    optimal under the 15-bit limit, so dynamic blocks are never larger than
-    the reference's for identical symbol statistics.
-  * Block-type choice (stored/static/dynamic) follows the reference's cost
-    rule (deflate.rs:2297-2415).
+    decision semantics; window slides become pure rebases (_maybe_prune)
+    that provably never change decisions.
 
 The engine produces output into an internal pending buffer; z_stream
 avail_in/avail_out pumping lives in models/stream.py (mirroring the
@@ -49,30 +52,37 @@ from ..config import (
 )
 from ..ops import checksum
 from ..ops import huffman as H
+from . import trees
 
-HASH_BITS = 16
-HASH_SIZE = 1 << HASH_BITS  # reference: deflate.rs:139
-HASH_MULT = np.uint32(2654435761)  # Knuth multiplicative (hash_calc.rs:30-33)
 MIN_LOOKAHEAD = MAX_MATCH + MIN_MATCH + 1  # 262, zlib's safety margin
 MAX_STORED = 65535
+TOO_FAR = 4096
 
 
-def _hash_all(buf: np.ndarray) -> np.ndarray:
-    """Vectorized 4-byte hash of every position (positions 0..n-4).
+def _hash_all(buf: np.ndarray, hash_bits: int) -> np.ndarray:
+    """Vectorized 3-byte rolling hash of every position (0..n-3).
 
-    Same function family as the reference's StandardHashCalc
-    (deflate/hash_calc.rs:25-82): h = (le32(buf[i:i+4]) * K) >> 16, 16 bits.
+    This is the classic zlib hash (the same family as the reference's
+    RollHashCalc, deflate/hash_calc.rs:84-135): h advances by
+    ((h << shift) ^ next_byte) & mask over a 3-byte window, with
+    shift = ceil(hash_bits / 3) so all three bytes contribute. Expanded
+    per-position: h_i = ((b_i << 2s) ^ (b_{i+1} << s) ^ b_{i+2}) & mask
+    (the intermediate masking in the rolling form drops only bits the
+    final mask drops too). Byte-exactness with the zlib oracle requires
+    this hash, the reference's Knuth-multiplicative StandardHashCalc is
+    the zlib-ng variant.
     """
     n = buf.shape[0]
-    if n < 4:
+    if n < 3:
         return np.zeros(0, np.int64)
+    shift = (hash_bits + MIN_MATCH - 1) // MIN_MATCH
+    mask = (1 << hash_bits) - 1
     w = (
-        buf[: n - 3].astype(np.uint32)
-        | (buf[1 : n - 2].astype(np.uint32) << 8)
-        | (buf[2 : n - 1].astype(np.uint32) << 16)
-        | (buf[3:n].astype(np.uint32) << 24)
+        (buf[: n - 2].astype(np.int64) << (2 * shift))
+        ^ (buf[1 : n - 1].astype(np.int64) << shift)
+        ^ buf[2:n].astype(np.int64)
     )
-    return (((w * HASH_MULT) >> np.uint32(16)) & np.uint32(HASH_SIZE - 1)).astype(np.int64)
+    return w & mask
 
 
 class BitWriter:
@@ -193,8 +203,12 @@ class Deflator:
         self.nice_length = cfg.nice_length
         self.max_chain = cfg.max_chain
         self.func = cfg.func
-        # lit_bufsize symbols per block (reference: deflate.rs:316)
+        # lit_bufsize symbols per block (reference: deflate.rs:316); the
+        # block flushes at lit_bufsize - 1 symbols (zlib's sym_end)
         self.lit_bufsize = 1 << (self.mem_level + 6)
+        # hash table geometry follows mem_level (zlib: hash_bits = memLevel+7)
+        self.hash_bits = self.mem_level + 7
+        self.hash_size = 1 << self.hash_bits
 
     def reset(self) -> None:
         """deflateReset (reference: deflate.rs:739)."""
@@ -203,7 +217,7 @@ class Deflator:
         self.buf = bytearray()  # dictionary + all input seen
         self._hash_store = np.zeros(4096, np.int64)  # grows with input
         self.hashes = self._hash_store[:0]  # valid prefix view
-        self.head = np.full(HASH_SIZE, -1, np.int64)
+        self.head = np.full(self.hash_size, -1, np.int64)
         self.prev = np.full(self.wsize, -1, np.int64)
         self.strstart = 0  # next position to process (absolute)
         self.inserted = 0  # positions hashed so far (absolute)
@@ -220,8 +234,17 @@ class Deflator:
         self.total_in = 0
         self.total_out = 0
         self.data_type = DataType.Unknown
-        self._match_available = False  # lazy matcher carry state
-        self._prev_match = (0, 0)  # (length, dist) found at strstart-1
+        # Absolute position that plays the role of zlib's window offset 0:
+        # entries at or before it can never be match candidates (head/prev
+        # NIL is 0 in zlib, so window position 0 is invisible). A FULL_FLUSH
+        # resets zlib's window, moving this anchor to the flush point.
+        self._nil_pos = 0
+        # lazy matcher carry state, mirroring zlib's State fields exactly
+        self._match_available = False
+        self._match_length = MIN_MATCH - 1  # current position's match
+        self._match_start = 0  # absolute position of that match's source
+        self._prev_length = MIN_MATCH - 1  # rolled at each slow-loop step
+        self._prev_start = 0
         self._block_types: list[str] = []  # introspection: emitted block kinds
         self._n_literals = 0  # observability counters (SURVEY.md section 5:
         self._n_matches = 0   # "counters as returned arrays — jit-friendly")
@@ -277,9 +300,11 @@ class Deflator:
         if self.finished:
             return ReturnCode.StreamError
         if (level != self.level or strategy != self.strategy) and (
-            self.sym_dist or self.strstart > self.block_start
+            self.sym_dist or self.strstart > self.block_start or len(self.buf) > self.strstart
         ):
-            self._compress_pending_input(final=False)
+            # zlib's deflateParams drains via Z_BLOCK: process all pending
+            # input under the old parameters and flush the block
+            self._compress_pending_input(final=True)
             self._resolve_deferred()
             if self.sym_dist or self.strstart > self.block_start:
                 self._flush_block(last=False)
@@ -388,6 +413,10 @@ class Deflator:
         self.block_start -= drop
         self.inserted = max(0, self.inserted - drop)
         self.base = max(0, self.base - drop)
+        # lazy-state positions live within the window of strstart
+        self._match_start = max(0, self._match_start - drop)
+        self._prev_start = max(0, self._prev_start - drop)
+        self._nil_pos = max(0, self._nil_pos - drop)
 
     def _append_input(self, data: bytes) -> None:
         if not data:
@@ -396,15 +425,15 @@ class Deflator:
         n0 = len(self.buf)
         self.buf.extend(data)
         n1 = len(self.buf)
-        nh = max(0, n1 - 3)  # number of hashable positions
+        nh = max(0, n1 - 2)  # number of 3-byte-hashable positions
         if self._hash_store.shape[0] < nh:
             grown = np.zeros(max(2 * self._hash_store.shape[0], nh), np.int64)
             grown[: self.hashes.shape[0]] = self.hashes
             self._hash_store = grown
-        # recompute only the tail (positions n0-3 .. n1-4 gain a full window)
-        start = max(0, n0 - 3)
+        # recompute only the tail (positions n0-2 .. n1-3 gain a full window)
+        start = max(0, n0 - 2)
         seg = np.frombuffer(bytes(self.buf[start:n1]), np.uint8)
-        hs = _hash_all(seg)
+        hs = _hash_all(seg, self.hash_bits)
         self._hash_store[start : start + hs.shape[0]] = hs
         self.hashes = self._hash_store[:nh]
 
@@ -442,50 +471,70 @@ class Deflator:
 
     # -- match finding -------------------------------------------------------
 
-    def _match_len(self, a: int, b: int, maxl: int) -> int:
-        """Length of common prefix of buf[a:] and buf[b:], capped at maxl."""
-        va = self.buf[a : a + maxl]
-        vb = self.buf[b : b + maxl]
+    def _match_len(self, pos: int, cur: int) -> int:
+        """Common-prefix length of buf[pos:] vs buf[cur:], up to MAX_MATCH,
+        treating bytes past the end of the buffer as zero.
+
+        The zero extension reproduces zlib's windowed compare exactly: the
+        window is zero-initialized past the valid data (fill_window's
+        high_water padding), so near the stream tail a match can *appear*
+        to extend into zeros, influencing which candidate wins even though
+        the returned length is later clamped to the real lookahead.
+        """
+        n = len(self.buf)
+        if pos + MAX_MATCH <= n:
+            va = self.buf[cur : cur + MAX_MATCH]
+            vb = self.buf[pos : pos + MAX_MATCH]
+        else:
+            va = bytes(self.buf[cur : cur + MAX_MATCH])
+            vb = bytes(self.buf[pos : pos + MAX_MATCH])
+            va += b"\0" * (MAX_MATCH - len(va))
+            vb += b"\0" * (MAX_MATCH - len(vb))
         if va == vb:
-            return len(va)
+            return MAX_MATCH
         x = int.from_bytes(va, "little") ^ int.from_bytes(vb, "little")
         return ((x & -x).bit_length() - 1) >> 3
 
-    def _longest_match(self, pos: int, prev_length: int) -> tuple[int, int]:
-        """Chain walk (reference: deflate/longest_match.rs): returns
-        (best_len, best_dist); best_len < MIN_MATCH means no match."""
+    def _longest_match(self, pos: int, cur: int, prev_length: int) -> tuple[int, int]:
+        """zlib's longest_match, decision-for-decision (the reference pins
+        the same walk in deflate/longest_match.rs): start from candidate
+        `cur` (the pre-insert head), chain budget quartered once the
+        deferred length reaches good_length, nice cutoff clamped to the
+        real lookahead, candidates beyond max(0, pos - MAX_DIST) rejected
+        (which also encodes zlib's NIL==0 quirk: window position 0 can
+        never match), closest-first walk where only strictly longer wins,
+        and the returned length clamped to the lookahead."""
         n = len(self.buf)
-        maxl = min(MAX_MATCH, n - pos)
-        if maxl < MIN_MATCH or prev_length >= maxl:
-            return 0, 0
-        limit = pos - (self.wsize - MIN_LOOKAHEAD)
-        chain = max(1, self.max_chain)  # level 1 (quick): single head probe
+        lookahead = n - pos
+        chain = self.max_chain
         best_len = prev_length
-        if self.good_length and best_len >= self.good_length:
+        if prev_length >= self.good_length:
             chain >>= 2
-        nice = min(max(self.nice_length, MIN_MATCH), maxl)
-        h = int(self.hashes[pos])
-        cur = int(self.head[h])
-        if cur == pos:  # pos itself was just inserted; start at its predecessor
-            cur = int(self.prev[pos & self.wmask])
+        nice = self.nice_length
+        if nice > lookahead:
+            nice = lookahead
+        limit = pos - (self.wsize - MIN_LOOKAHEAD)
+        if limit < self._nil_pos:
+            limit = self._nil_pos
         best_dist = 0
-        buf = self.buf
-        while cur >= 0 and cur >= limit and chain > 0:
-            chain -= 1
-            # anchored rejection: check the byte that would extend best_len
-            if best_len > 0 and buf[cur + best_len] != buf[pos + best_len]:
-                cur = int(self.prev[cur & self.wmask])
-                continue
-            ml = self._match_len(pos, cur, maxl)
+        prev = self.prev
+        wmask = self.wmask
+        while True:
+            ml = self._match_len(pos, cur)
             if ml > best_len:
                 best_len = ml
                 best_dist = pos - cur
                 if ml >= nice:
                     break
-            cur = int(self.prev[cur & self.wmask])
-        if best_dist == 0:
-            return 0, 0
-        return best_len, best_dist
+            cur = int(prev[cur & wmask])
+            if cur <= limit:
+                break
+            chain -= 1
+            if chain == 0:
+                break
+        if best_len <= lookahead:
+            return best_len, best_dist
+        return lookahead, best_dist
 
     # -- symbol emission -----------------------------------------------------
 
@@ -501,20 +550,24 @@ class Deflator:
         self._match_bytes += length
 
     def _sym_full(self) -> bool:
-        return len(self.sym_dist) >= self.lit_bufsize
+        # zlib flushes at lit_bufsize - 1 symbols (sym_end), leaving room
+        # for exactly one trailing tally before the block is emitted
+        return len(self.sym_dist) >= self.lit_bufsize - 1
 
     # -- block algorithms ----------------------------------------------------
 
-    def _compress_pending_input(self, final: bool) -> None:
+    def _compress_pending_input(self, final: bool, finish: bool = False) -> None:
         """Run the level's matcher over unprocessed input.
 
-        When not finalizing, keeps MIN_LOOKAHEAD bytes unprocessed so matches
-        never straddle data we haven't seen the end of.
+        `final` means process everything (any flush); `finish` additionally
+        marks stream end (level-0 stored blocks carry their own last flag).
+        When not final, keeps MIN_LOOKAHEAD bytes unprocessed so decisions
+        match zlib's regardless of input chunking.
         """
         n = len(self.buf)
         limit = n if final else max(self.strstart, n - MIN_LOOKAHEAD)
         if self.level == 0 or self.func == "stored":
-            self._deflate_stored(limit, final)
+            self._deflate_stored(final, finish)
             return
         if self.strategy == Strategy.HuffmanOnly:
             self._deflate_huff(limit)
@@ -522,25 +575,51 @@ class Deflator:
         if self.strategy == Strategy.Rle:
             self._deflate_rle(limit)
             return
-        if self.func in ("quick", "fast"):
-            self._deflate_greedy(limit)
-        else:  # medium, slow
-            self._deflate_lazy(limit, final)
+        if self.func == "fast":
+            self._deflate_fast(limit)
+        else:  # slow
+            self._deflate_slow(limit, final)
 
-    def _deflate_stored(self, limit: int, final: bool) -> None:
-        """Level 0: direct stored blocks (reference: algorithm/stored.rs)."""
-        while self.strstart < limit:
-            take = min(limit - self.strstart, MAX_STORED)
-            # emit only full blocks unless flushing
-            if take < MAX_STORED and not final:
-                break
-            self._emit_stored_block(
-                self.buf[self.strstart : self.strstart + take],
-                last=False,
-            )
-            self.strstart += take
-            self.block_start = self.strstart
-        self._insert_hashes_upto(self.strstart)
+    def _deflate_stored(self, final: bool, finish: bool) -> None:
+        """Level 0: direct stored blocks, zlib's ample-output schedule
+        (reference: algorithm/stored.rs): full 64K-1 blocks while input
+        remains; at stream end the block that consumes the remainder (which
+        may be empty) carries the last flag. With constrained output buffers
+        zlib splits differently — byte-exactness at level 0 is defined for
+        the unbounded-output one-shot case.
+        """
+        n = len(self.buf)
+        min_block = min(4 * self.lit_bufsize - 5, self.wsize)
+        if finish:
+            while True:
+                take = min(n - self.strstart, MAX_STORED)
+                last_blk = take == n - self.strstart
+                self._emit_stored_block(
+                    self.buf[self.strstart : self.strstart + take], last=last_blk
+                )
+                self.strstart += take
+                self.block_start = self.strstart
+                if last_blk:
+                    break
+        elif final:
+            # non-FINISH flush: emit everything pending, not last
+            while self.strstart < n:
+                take = min(n - self.strstart, MAX_STORED)
+                self._emit_stored_block(
+                    self.buf[self.strstart : self.strstart + take], last=False
+                )
+                self.strstart += take
+                self.block_start = self.strstart
+        else:
+            # streaming NO_FLUSH: emit once at least min_block is available
+            while n - self.strstart >= min_block:
+                take = min(n - self.strstart, MAX_STORED)
+                self._emit_stored_block(
+                    self.buf[self.strstart : self.strstart + take], last=False
+                )
+                self.strstart += take
+                self.block_start = self.strstart
+        self.inserted = max(self.inserted, min(self.strstart, self.hashes.shape[0]))
 
     def _deflate_huff(self, limit: int) -> None:
         """Strategy HuffmanOnly: literals only (reference: algorithm/huff.rs)."""
@@ -552,118 +631,142 @@ class Deflator:
         self.inserted = max(self.inserted, min(self.strstart, self.hashes.shape[0]))
 
     def _deflate_rle(self, limit: int) -> None:
-        """Strategy Rle: distance-1 runs only (reference: algorithm/rle.rs)."""
+        """Strategy Rle: distance-1 runs only, zlib-exact (reference:
+        algorithm/rle.rs): a run requires the previous byte repeated at
+        least 3 times from the scan point; the scan extends over the
+        zero-padded window up to MAX_MATCH, then clamps to the lookahead."""
+        buf = self.buf
+        n = len(buf)
         while self.strstart < limit:
             pos = self.strstart
-            run = 0
-            if pos > self.base:
-                prev_byte = self.buf[pos - 1]
-                maxrun = min(MAX_MATCH, limit - pos)
-                while run < maxrun and self.buf[pos + run] == prev_byte:
-                    run += 1
-            if run >= MIN_MATCH:
-                self._tally_match(run, 1)
-                self.strstart += run
+            ml = 0
+            lookahead = n - pos
+            if lookahead >= MIN_MATCH and pos > self._nil_pos:
+                prev_b = buf[pos - 1]
+                if prev_b == buf[pos] == buf[pos + 1] == buf[pos + 2]:
+                    run = 3
+                    while run < MAX_MATCH and pos + run < n and buf[pos + run] == prev_b:
+                        run += 1
+                    if run < MAX_MATCH and pos + run >= n and prev_b == 0:
+                        # window zero-padding extends zero runs virtually
+                        run = MAX_MATCH
+                    ml = min(run, lookahead)
+            if ml >= MIN_MATCH:
+                self._tally_match(ml, 1)
+                self.strstart += ml
             else:
-                self._tally_lit(self.buf[pos])
+                self._tally_lit(buf[pos])
                 self.strstart += 1
             if self._sym_full():
                 self._flush_block(last=False)
         self.inserted = max(self.inserted, min(self.strstart, self.hashes.shape[0]))
 
-    def _accept_match(self, length: int, dist: int) -> bool:
-        """zlib's too-far / filtered heuristics (deflate.rs TOO_FAR=4096)."""
-        if length < MIN_MATCH:
-            return False
-        if length == MIN_MATCH and dist > 4096:
-            return False
-        if self.strategy == Strategy.Filtered and length <= 5:
-            return False
-        return True
+    def _deflate_fast(self, limit: int) -> None:
+        """Levels 1-3: greedy matching, zlib-exact (reference: fast.rs).
 
-    def _deflate_greedy(self, limit: int) -> None:
-        """Levels 1-2: greedy matching (reference: quick.rs/fast.rs)."""
+        Each scanned position is hash-inserted first; the pre-insert chain
+        head is the sole entry point to longest_match. Matched spans are
+        inserted position-by-position unless the match exceeds max_lazy
+        (max_insert_length), in which case the span is skipped entirely —
+        the hash chains never learn those positions."""
         nh = self.hashes.shape[0]
+        n = len(self.buf)
+        max_dist = self.wsize - MIN_LOOKAHEAD
         while self.strstart < limit:
             pos = self.strstart
-            length, dist = 0, 0
+            hash_head = -1
             if pos < nh:
                 self._insert_hashes_upto(pos + 1)
-                length, dist = self._longest_match(pos, 0)
-            if self._accept_match(length, dist):
-                self._tally_match(length, dist)
-                self._insert_hashes_upto(min(pos + length, nh))
-                self.strstart += length
+                hash_head = int(self.prev[pos & self.wmask])
+            ml, mdist = 0, 0
+            if hash_head > self._nil_pos and pos - hash_head <= max_dist:
+                ml, mdist = self._longest_match(pos, hash_head, MIN_MATCH - 1)
+            if ml >= MIN_MATCH and mdist > 0:
+                self._tally_match(ml, mdist)
+                if ml <= self.max_lazy and n - (pos + ml) >= MIN_MATCH:
+                    self._insert_hashes_upto(min(pos + ml, nh))
+                else:
+                    self.inserted = max(self.inserted, min(pos + ml, nh))
+                self.strstart = pos + ml
             else:
                 self._tally_lit(self.buf[pos])
                 self.strstart += 1
             if self._sym_full():
                 self._flush_block(last=False)
 
-    def _deflate_lazy(self, limit: int, final: bool) -> None:
-        """Levels 3-9: lazy matching — defer a match by one position if the
-        next position matches longer (reference: algorithm/slow.rs, with
-        medium's lookahead-trim semantics folded into the same loop)."""
+    def _deflate_slow(self, limit: int, final: bool) -> None:
+        """Levels 4-9: lazy matching, zlib-exact (reference: slow.rs).
+
+        State carried across calls mirrors zlib's: the current match
+        (length/start) rolls into the previous slot at each step; a match is
+        emitted from position pos-1 when the current position cannot beat
+        it; `match_available` marks an unresolved position whose byte
+        becomes a literal if nothing better arrives. The trailing deferral
+        at stream end is always a literal (a real match cannot be deferred
+        into the final position because lengths clamp to the lookahead)."""
         nh = self.hashes.shape[0]
+        max_dist = self.wsize - MIN_LOOKAHEAD
         while self.strstart < limit:
             pos = self.strstart
-            length, dist = 0, 0
+            hash_head = -1
             if pos < nh:
                 self._insert_hashes_upto(pos + 1)
-                prev_len = self._prev_match[0] if self._match_available else 0
-                if prev_len < self.max_lazy:
-                    length, dist = self._longest_match(pos, prev_len)
-                if not self._accept_match(length, dist):
-                    length, dist = 0, 0
-            if self._match_available:
-                plen, pdist = self._prev_match
-                if length > plen:
-                    # Previous position becomes a literal; keep searching.
-                    # Flush (if due) BEFORE advancing past pos: the deferred
-                    # match at pos belongs to the next block, and the block's
-                    # byte coverage [block_start, strstart) must end at pos
-                    # (zlib's deflate_slow flushes with strstart un-advanced).
-                    self._tally_lit(self.buf[pos - 1])
-                    self._prev_match = (length, dist)
-                    if self._sym_full():
-                        self._flush_block(last=False)
-                    self.strstart += 1
-                    continue
-                else:
-                    # emit the previous match, starting at pos-1
-                    self._tally_match(plen, pdist)
-                    self._insert_hashes_upto(min(pos - 1 + plen, nh))
-                    self.strstart = pos - 1 + plen
-                    self._match_available = False
-                    if self._sym_full():
-                        self._flush_block(last=False)
-                    continue
+                hash_head = int(self.prev[pos & self.wmask])
+            self._prev_length = self._match_length
+            self._prev_start = self._match_start
+            self._match_length = MIN_MATCH - 1
+            if (
+                hash_head > self._nil_pos
+                and self._prev_length < self.max_lazy
+                and pos - hash_head <= max_dist
+            ):
+                ml, mdist = self._longest_match(pos, hash_head, self._prev_length)
+                self._match_length = ml
+                if mdist > 0:
+                    self._match_start = pos - mdist
+                if self._match_length <= 5 and (
+                    self.strategy == Strategy.Filtered
+                    or (
+                        self._match_length == MIN_MATCH
+                        and pos - self._match_start > TOO_FAR
+                    )
+                ):
+                    # drop short matches that are too distant (or filtered)
+                    self._match_length = MIN_MATCH - 1
+            if self._prev_length >= MIN_MATCH and self._match_length <= self._prev_length:
+                # the deferred match at pos-1 wins
+                plen = self._prev_length
+                self._tally_match(plen, (pos - 1) - self._prev_start)
+                self._insert_hashes_upto(min(pos + plen - 1, nh))
+                self.strstart = pos + plen - 1
+                self._match_available = False
+                self._match_length = MIN_MATCH - 1
+                if self._sym_full():
+                    self._flush_block(last=False)
+            elif self._match_available:
+                # pos-1 resolves to a literal; flush BEFORE advancing so the
+                # block's byte coverage ends at pos (zlib flushes here with
+                # strstart not yet advanced)
+                self._tally_lit(self.buf[pos - 1])
+                if self._sym_full():
+                    self._flush_block(last=False)
+                self.strstart += 1
             else:
-                if length >= MIN_MATCH:
-                    self._prev_match = (length, dist)
-                    self._match_available = True
-                else:
-                    self._tally_lit(self.buf[pos])
-            self.strstart += 1
-            if not self._match_available and self._sym_full():
-                self._flush_block(last=False)
+                self._match_available = True
+                self.strstart += 1
         if final and self._match_available:
-            self._resolve_deferred()
+            self._tally_lit(self.buf[self.strstart - 1])
+            self._match_available = False
 
     def _resolve_deferred(self) -> None:
-        """Resolve a pending lazy deferral (position strstart-1) to its match
-        or a literal. Must run before any _flush_block while the lazy matcher
-        has carry state, so block byte-coverage and symbols stay in step."""
+        """Resolve a pending lazy deferral (position strstart-1) to a
+        literal, zlib's end-of-input rule. Must run before any direct
+        _flush_block while the lazy matcher has carry state."""
         if not self._match_available:
             return
-        plen, pdist = self._prev_match
-        if plen >= MIN_MATCH and self.strstart - 1 + plen <= len(self.buf):
-            self._tally_match(plen, pdist)
-            self._insert_hashes_upto(min(self.strstart - 1 + plen, self.hashes.shape[0]))
-            self.strstart = self.strstart - 1 + plen
-        else:
-            self._tally_lit(self.buf[self.strstart - 1])
+        self._tally_lit(self.buf[self.strstart - 1])
         self._match_available = False
+        self._match_length = MIN_MATCH - 1
 
     # -- block emission ------------------------------------------------------
 
@@ -689,133 +792,33 @@ class Deflator:
             i += take
             self._block_types.append("stored")
 
-    def _emit_symbols(self, ll_codes, ll_lens, d_codes, d_lens) -> None:
-        bw = self.bw
-        L_BASE = H.LENGTH_BASE
-        L_EXTRA = H.LENGTH_EXTRA
-        D_BASE = H.DIST_BASE
-        D_EXTRA = H.DIST_EXTRA
-        LCODE = H.LENGTH_CODE
-        DCODE = H.DIST_CODE
-        for dist, lit in zip(self.sym_dist, self.sym_lit):
-            if dist == 0:
-                bw.send_bits(int(ll_codes[lit]), int(ll_lens[lit]))
-            else:
-                lc = int(LCODE[lit - 3])
-                sym = 257 + lc
-                bw.send_bits(int(ll_codes[sym]), int(ll_lens[sym]))
-                eb = int(L_EXTRA[lc])
-                if eb:
-                    bw.send_bits(lit - int(L_BASE[lc]), eb)
-                d = dist - 1
-                dc = int(DCODE[d] if d < 256 else DCODE[256 + (d >> 7)])
-                bw.send_bits(int(d_codes[dc]), int(d_lens[dc]))
-                eb = int(D_EXTRA[dc])
-                if eb:
-                    bw.send_bits(dist - int(D_BASE[dc]), eb)
-        bw.send_bits(int(ll_codes[256]), int(ll_lens[256]))  # end of block
-
     def _flush_block(self, last: bool) -> None:
-        """Emit the buffered symbols as one block, choosing stored/static/
-        dynamic by computed bit cost (reference: zng_tr_flush_block,
-        deflate.rs:2297-2415)."""
+        """Emit the buffered symbols as one block via the zlib-exact tree
+        layer (models/trees.py): heap-built dynamic trees with zlib's exact
+        tie-breaking, whole-byte cost comparison, stored/static/dynamic
+        choice (reference: zng_tr_flush_block, deflate.rs:2297-2415)."""
         block_bytes = bytes(self.buf[self.block_start : self.strstart])
-        nsyms = len(self.sym_dist)
 
-        # frequencies
-        dists = np.asarray(self.sym_dist, np.int64)
-        lits = np.asarray(self.sym_lit, np.int64)
-        ll_freq = np.zeros(286, np.int64)
-        d_freq = np.zeros(30, np.int64)
-        if nsyms:
-            lit_mask = dists == 0
-            if lit_mask.any():
-                ll_freq[:256] = np.bincount(lits[lit_mask], minlength=256)[:256]
-            mm = ~lit_mask
-            if mm.any():
-                lcodes = 257 + H.LENGTH_CODE[lits[mm] - 3]
-                ll_freq += np.bincount(lcodes, minlength=286)[:286]
-                dcodes = H.dist_to_code(dists[mm])
-                d_freq += np.bincount(dcodes, minlength=30)[:30]
-        ll_freq[256] += 1  # EOB
+        if self.data_type == DataType.Unknown and self.sym_dist:
+            dists = np.asarray(self.sym_dist, np.int64)
+            lits = np.asarray(self.sym_lit, np.int64)
+            lf = np.zeros(286, np.int64)
+            lm = dists == 0
+            if lm.any():
+                lf[:256] = np.bincount(lits[lm], minlength=256)[:256]
+            self.data_type = _detect_data_type(lf)
 
-        if self.data_type == DataType.Unknown:
-            self.data_type = _detect_data_type(ll_freq)
-
-        # dynamic trees (package-merge; optimal under the 15-bit limit)
-        ll_lens_dyn = H.huffman_code_lengths(ll_freq, 15)
-        d_lens_dyn = H.huffman_code_lengths(d_freq, 15)
-        nlen = max(257, int(np.max(np.nonzero(ll_lens_dyn)[0])) + 1)
-        ndist = int(np.max(np.nonzero(d_lens_dyn)[0])) + 1 if np.any(d_lens_dyn) else 1
-
-        # bl tree over the RLE'd code length sequences
-        rle_ll = _scan_code_lengths(ll_lens_dyn[:nlen])
-        rle_d = _scan_code_lengths(d_lens_dyn[:ndist])
-        bl_freq = np.zeros(19, np.int64)
-        extra_bl_bits = 0
-        for sym, _v, eb in rle_ll + rle_d:
-            bl_freq[sym] += 1
-            extra_bl_bits += eb
-        bl_lens = H.huffman_code_lengths(bl_freq, 7)
-        order = H.CL_ORDER
-        hclen = 19
-        while hclen > 4 and bl_lens[order[hclen - 1]] == 0:
-            hclen -= 1
-
-        # costs in bits
-        ll_extra = np.zeros(286, np.int64)
-        ll_extra[257:286] = H.LENGTH_EXTRA
-        d_extra = H.DIST_EXTRA.astype(np.int64)
-        dyn_body = H.huffman_cost(ll_freq, ll_lens_dyn) + int(
-            (ll_freq * ll_extra).sum() + (d_freq * (d_lens_dyn + d_extra)).sum()
+        kind = trees.flush_block(
+            self.bw,
+            self.pending,
+            self.sym_dist,
+            self.sym_lit,
+            block_bytes,
+            last,
+            self.level,
+            self.strategy,
         )
-        dyn_hdr = 5 + 5 + 4 + 3 * hclen + H.huffman_cost(bl_freq, bl_lens) + extra_bl_bits
-        opt_len = dyn_hdr + dyn_body
-
-        static_ll = H.FIXED_LITLEN_LENGTHS.astype(np.int64)
-        static_len = (
-            int((ll_freq * (static_ll[:286] + ll_extra)).sum())
-            + int((d_freq * (5 + d_extra)).sum())
-        )
-        if self.strategy == Strategy.Fixed:
-            opt_len = static_len + (1 << 30)  # force static
-
-        nbytes = len(block_bytes)
-        nstored_blocks = max(1, -(-nbytes // MAX_STORED))
-        stored_len = 8 * nbytes + 40 * nstored_blocks  # hdr ~5 bytes/65535
-
-        if stored_len <= min(opt_len, static_len) + 3:
-            self._emit_stored_block(block_bytes, last)
-        elif static_len <= opt_len:
-            bw = self.bw
-            bw.send_bits(1 if last else 0, 1)
-            bw.send_bits(1, 2)
-            self._emit_symbols(
-                H.STATIC_LITLEN_CODES_LSB,
-                H.FIXED_LITLEN_LENGTHS,
-                H.STATIC_DIST_CODES_LSB,
-                H.FIXED_DIST_LENGTHS,
-            )
-            self._block_types.append("static")
-        else:
-            bw = self.bw
-            bw.send_bits(1 if last else 0, 1)
-            bw.send_bits(2, 2)
-            bw.send_bits(nlen - 257, 5)
-            bw.send_bits(ndist - 1, 5)
-            bw.send_bits(hclen - 4, 4)
-            _, bl_codes = H.canonical_codes(bl_lens)
-            for i in range(hclen):
-                bw.send_bits(int(bl_lens[order[i]]), 3)
-            for sym, v, eb in rle_ll + rle_d:
-                bw.send_bits(int(bl_codes[sym]), int(bl_lens[sym]))
-                if eb:
-                    bw.send_bits(v, eb)
-            _, ll_codes = H.canonical_codes(ll_lens_dyn)
-            _, d_codes = H.canonical_codes(d_lens_dyn)
-            self._emit_symbols(ll_codes, ll_lens_dyn, d_codes, d_lens_dyn)
-            self._block_types.append("dynamic")
-
+        self._block_types.append(kind)
         self.sym_dist.clear()
         self.sym_lit.clear()
         self.block_start = self.strstart
@@ -826,7 +829,7 @@ class Deflator:
         if self.wrap == Wrap.Zlib:
             cinfo = self.wbits - 8
             # compression-level hint bits (reference: deflate.rs header())
-            if self.level < 2:
+            if self.strategy >= Strategy.HuffmanOnly or self.level < 2:
                 flevel = 0
             elif self.level < 6:
                 flevel = 1
@@ -911,8 +914,9 @@ class Deflator:
             self._append_input(data)
 
         final = flush == DeflateFlush.FINISH
+        stored_func = self.level == 0 or self.func == "stored"
         if final or flush != DeflateFlush.NO_FLUSH:
-            self._compress_pending_input(final=True)
+            self._compress_pending_input(final=True, finish=final)
         else:
             self._compress_pending_input(final=False)
 
@@ -922,33 +926,28 @@ class Deflator:
             DeflateFlush.PARTIAL_FLUSH,
             DeflateFlush.BLOCK,
         ):
-            if self.sym_dist or self.strstart > self.block_start:
+            if not stored_func and (self.sym_dist or self.strstart > self.block_start):
                 self._flush_block(last=False)
             if flush == DeflateFlush.PARTIAL_FLUSH:
-                # _tr_align: empty static block, 10 bits
-                self.bw.send_bits(0, 1)
-                self.bw.send_bits(1, 2)
-                self.bw.send_bits(
-                    int(H.STATIC_LITLEN_CODES_LSB[256]), int(H.FIXED_LITLEN_LENGTHS[256])
-                )
-                self.bw.flush_partial()
+                trees.tr_align(self.bw)
             elif flush in (DeflateFlush.SYNC_FLUSH, DeflateFlush.FULL_FLUSH):
                 self._emit_stored_block(b"", last=False)  # 00 00 FF FF seam
                 if flush == DeflateFlush.FULL_FLUSH:
-                    # forget match history so decode can restart here
+                    # forget match history so decode can restart here; zlib
+                    # also zeroes `insert`, so the last MIN_MATCH-1 pre-flush
+                    # positions are never hashed once new input arrives
                     self.head.fill(-1)
                     self.prev.fill(-1)
+                    self.inserted = max(self.inserted, self.strstart)
+                    # zlib resets strstart to 0 here, so the first post-flush
+                    # position becomes window offset 0 == NIL: unmatchable
+                    self._nil_pos = self.strstart
         elif final:
-            if self.sym_dist or self.strstart > self.block_start:
+            if not stored_func:
+                # zlib ends every level-1..9 stream with FLUSH_BLOCK(last=1),
+                # which emits an empty final block when nothing is buffered;
+                # the level-0 path marked its own last stored block already
                 self._flush_block(last=True)
-            else:
-                # no symbols at all: empty final static block
-                self.bw.send_bits(1, 1)
-                self.bw.send_bits(1, 2)
-                self.bw.send_bits(
-                    int(H.STATIC_LITLEN_CODES_LSB[256]), int(H.FIXED_LITLEN_LENGTHS[256])
-                )
-                self._block_types.append("static")
             self._emit_trailer()
             self.finished = True
             return ReturnCode.StreamEnd
