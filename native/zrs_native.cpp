@@ -125,65 +125,8 @@ uint32_t bit_reverse(uint32_t v, int n) {
 }
 
 // ---------------------------------------------------------------------------
-// canonical Huffman code lengths (two-queue tree + 15-bit overflow repair)
+// canonical codes (shared by static trees and the exact tree builder)
 // ---------------------------------------------------------------------------
-
-void huffman_lengths(const uint32_t* freq, int n, int max_bits, uint8_t* lens) {
-  std::vector<int> syms;
-  for (int i = 0; i < n; i++) if (freq[i]) syms.push_back(i);
-  std::memset(lens, 0, n);
-  if (syms.empty()) return;
-  if (syms.size() == 1) { lens[syms[0]] = 1; return; }
-
-  // sort used symbols by frequency (stable on symbol id for determinism)
-  std::stable_sort(syms.begin(), syms.end(),
-                   [&](int a, int b) { return freq[a] < freq[b]; });
-  size_t m = syms.size();
-  // two-queue Huffman: leaves queue + internal-nodes queue
-  std::vector<uint64_t> leafw(m), nodew;
-  std::vector<int> parent(2 * m, -1);
-  for (size_t i = 0; i < m; i++) leafw[i] = freq[syms[i]];
-  nodew.reserve(m);
-  size_t li = 0, ni = 0;
-  auto take = [&]() -> int {
-    // returns node id: leaves are 0..m-1, internals m..2m-2
-    bool leaf = li < m && (ni >= nodew.size() || leafw[li] <= nodew[ni]);
-    return leaf ? (int)li++ : (int)(m + ni++);
-  };
-  for (size_t k = 0; k + 1 < m; k++) {
-    int a = take(), b = take();
-    uint64_t w = (a < (int)m ? leafw[a] : nodew[a - m]) +
-                 (b < (int)m ? leafw[b] : nodew[b - m]);
-    nodew.push_back(w);
-    parent[a] = parent[b] = (int)(m + nodew.size() - 1);
-  }
-  // depths with CLAMPED propagation (zlib gen_bitlen semantics: a child's
-  // depth derives from the parent's already-clamped depth, so every node
-  // overshoots by at most one level and the -2 repair accounting is exact)
-  std::vector<int> depth(2 * m, 0);
-  int overflow = 0;
-  for (int k = (int)(m + nodew.size()) - 2; k >= 0; k--) {
-    if (parent[k] < 0) continue;
-    int d = depth[parent[k]] + 1;
-    if (d > max_bits) { d = max_bits; overflow++; }
-    depth[k] = d;
-  }
-  std::vector<int> cnt(max_bits + 1, 0);
-  for (size_t i = 0; i < m; i++) cnt[depth[i]]++;
-  while (overflow > 0) {
-    int bits = max_bits - 1;
-    while (bits > 0 && cnt[bits] == 0) bits--;
-    if (bits == 0) break;  // cannot happen for a valid tree; safety only
-    cnt[bits]--;
-    cnt[bits + 1] += 2;
-    cnt[max_bits]--;
-    overflow -= 2;
-  }
-  // assign lengths: rarest symbols get the deepest codes
-  size_t idx = 0;
-  for (int l = max_bits; l >= 1; l--)
-    for (int k = 0; k < cnt[l]; k++) lens[syms[idx++]] = (uint8_t)l;
-}
 
 void canonical_codes(const uint8_t* lens, int n, uint16_t* codes_lsb) {
   int cnt[16] = {0};
@@ -225,32 +168,55 @@ struct BitWriter {
   inline void put(uint32_t v, int nbits) {
     buf |= (uint64_t)(v & ((1u << nbits) - 1)) << cnt;
     cnt += nbits;
-    while (cnt >= 8) { out.push_back((uint8_t)buf); buf >>= 8; cnt -= 8; }
+    if (cnt >= 32) {  // drain 4 bytes at once (single put is <= 16 bits)
+      size_t o = out.size();
+      out.resize(o + 4);
+      uint32_t w = (uint32_t)buf;
+      std::memcpy(out.data() + o, &w, 4);
+      buf >>= 32;
+      cnt -= 32;
+    }
   }
-  void align() { if (cnt) out.push_back((uint8_t)buf); buf = 0; cnt = 0; }
+  void align() {
+    while (cnt > 0) { out.push_back((uint8_t)buf); buf >>= 8; cnt -= 8; }
+    buf = 0;
+    cnt = 0;
+  }
 };
 
 // ---------------------------------------------------------------------------
-// deflate (chunk compressor): hash chains + greedy/lazy + dynamic trees
+// deflate: zlib-exact engine. Mirrors models/deflate.py + models/trees.py
+// decision-for-decision so native output is byte-identical to the zlib
+// oracle at levels 1-9 (reference parity model: end_to_end.rs:42).
 // ---------------------------------------------------------------------------
 
 constexpr int MIN_MATCH = 3, MAX_MATCH = 258, WSIZE = 32768;
-constexpr int HASH_BITS_N = 16, HASH_SIZE_N = 1 << HASH_BITS_N;
+constexpr int MIN_LOOKAHEAD = MAX_MATCH + MIN_MATCH + 1;  // 262
+constexpr int MAX_DIST_N = WSIZE - MIN_LOOKAHEAD;
+constexpr int HASH_BITS_N = 15, HASH_SIZE_N = 1 << HASH_BITS_N;  // memLevel 8
+constexpr int HASH_SHIFT_N = (HASH_BITS_N + MIN_MATCH - 1) / MIN_MATCH;  // 5
+constexpr int TOO_FAR_N = 4096;
+constexpr int L_CODES_N = 286, D_CODES_N = 30, BL_CODES_N = 19;
+constexpr int HEAP_SIZE_N = 2 * L_CODES_N + 1;
+constexpr size_t LIT_BUFSIZE_N = 1 << 14;      // memLevel 8
+constexpr size_t SYM_END_N = LIT_BUFSIZE_N - 1;  // flush threshold
 
-struct LevelCfg { int good, lazy, nice, chain; };
-// mirrors CONFIGURATION_TABLE semantics (config.py / algorithm/mod.rs:69-82)
+struct LevelCfg { int good, lazy, nice, chain; bool slow; };
+// classic zlib configuration_table: levels 1-3 greedy, 4-9 lazy
 const LevelCfg LEVELS[10] = {
-    {0, 0, 0, 0},      {0, 0, 8, 1},       {4, 4, 8, 4},      {4, 6, 16, 6},
-    {4, 12, 32, 24},   {8, 16, 32, 32},    {8, 16, 128, 128}, {8, 32, 128, 256},
-    {32, 128, 258, 1024}, {32, 258, 258, 4096}};
+    {0, 0, 0, 0, false},
+    {4, 4, 8, 4, false},      {4, 5, 16, 8, false},    {4, 6, 32, 32, false},
+    {4, 4, 16, 16, true},     {8, 16, 32, 32, true},   {8, 16, 128, 128, true},
+    {8, 32, 128, 256, true},  {32, 128, 258, 1024, true},
+    {32, 258, 258, 4096, true}};
 
-inline uint32_t hash4(const uint8_t* p) {
-  uint32_t v;
-  std::memcpy(&v, p, 4);
-  return (v * 2654435761u) >> (32 - HASH_BITS_N);
+// zlib's 3-byte rolling hash expanded per position
+inline uint32_t hash3(const uint8_t* p) {
+  return (((uint32_t)p[0] << (2 * HASH_SHIFT_N)) ^ ((uint32_t)p[1] << HASH_SHIFT_N) ^
+          (uint32_t)p[2]) & (uint32_t)(HASH_SIZE_N - 1);
 }
 
-inline int match_len(const uint8_t* a, const uint8_t* b, int maxl) {
+inline int match_len_fast(const uint8_t* a, const uint8_t* b, int maxl) {
   int l = 0;
   while (l + 8 <= maxl) {
     uint64_t x, y;
@@ -264,10 +230,190 @@ inline int match_len(const uint8_t* a, const uint8_t* b, int maxl) {
   return l;
 }
 
+// zlib-exact per-block tree construction: frequency heap with (freq, depth)
+// tie-breaking, 15-bit overflow redistribution, shared opt/static bit
+// accumulators across the three trees (reference: deflate.rs:1926-2143).
+struct TreeBuild {
+  uint64_t opt_len = 0, static_len = 0;
+
+  int build(const uint32_t* freq_in, int elems, const uint8_t* stree_len,
+            const int* extra, int extra_base, int max_length,
+            uint8_t* lens, uint16_t* codes) {
+    const int nnodes = 2 * elems + 1;
+    std::vector<uint64_t> f(nnodes, 0);
+    std::vector<int> length(nnodes, 0), dad(nnodes, 0), depth(nnodes, 0);
+    for (int i = 0; i < elems; i++) f[i] = freq_in[i];
+
+    std::vector<int> heap(HEAP_SIZE_N + 1, 0);
+    int heap_len = 0, heap_max = HEAP_SIZE_N;
+    int max_code = -1;
+    for (int i = 0; i < elems; i++) {
+      if (f[i]) { heap[++heap_len] = i; max_code = i; depth[i] = 0; }
+      else lens[i] = 0;
+    }
+    while (heap_len < 2) {
+      int node = max_code < 2 ? ++max_code : 0;
+      heap[++heap_len] = node;
+      f[node] = 1;
+      depth[node] = 0;
+      opt_len--;
+      if (stree_len) static_len -= stree_len[node];
+    }
+
+    auto smaller = [&](int a, int b) {
+      return f[a] < f[b] || (f[a] == f[b] && depth[a] <= depth[b]);
+    };
+    auto downheap = [&](int k) {
+      int v = heap[k];
+      int j = k << 1;
+      while (j <= heap_len) {
+        if (j < heap_len && smaller(heap[j + 1], heap[j])) j++;
+        if (smaller(v, heap[j])) break;
+        heap[k] = heap[j];
+        k = j;
+        j <<= 1;
+      }
+      heap[k] = v;
+    };
+    for (int k = heap_len / 2; k >= 1; k--) downheap(k);
+
+    int node = elems;
+    do {
+      int nmin = heap[1];
+      heap[1] = heap[heap_len--];
+      downheap(1);
+      int m = heap[1];
+      heap[--heap_max] = nmin;
+      heap[--heap_max] = m;
+      f[node] = f[nmin] + f[m];
+      depth[node] = std::max(depth[nmin], depth[m]) + 1;
+      dad[nmin] = dad[m] = node;
+      heap[1] = node++;
+      downheap(1);
+    } while (heap_len >= 2);
+    heap[--heap_max] = heap[1];
+
+    // gen_bitlen
+    int bl_count[16] = {0};
+    length[heap[heap_max]] = 0;
+    int overflow = 0;
+    for (int h = heap_max + 1; h < HEAP_SIZE_N; h++) {
+      int nn = heap[h];
+      int bits = length[dad[nn]] + 1;
+      if (bits > max_length) { bits = max_length; overflow++; }
+      length[nn] = bits;
+      if (nn > max_code) continue;
+      bl_count[bits]++;
+      int xbits = nn >= extra_base ? extra[nn - extra_base] : 0;
+      uint64_t fr = f[nn];
+      opt_len += fr * (uint64_t)(bits + xbits);
+      if (stree_len) static_len += fr * (uint64_t)(stree_len[nn] + xbits);
+    }
+    if (overflow > 0) {
+      do {
+        int bits = max_length - 1;
+        while (bl_count[bits] == 0) bits--;
+        bl_count[bits]--;
+        bl_count[bits + 1] += 2;
+        bl_count[max_length]--;
+        overflow -= 2;
+      } while (overflow > 0);
+      int h = HEAP_SIZE_N;
+      for (int bits = max_length; bits != 0; bits--) {
+        int nn = bl_count[bits];
+        while (nn != 0) {
+          int m = heap[--h];
+          if (m > max_code) continue;
+          if (length[m] != bits) {
+            opt_len += (uint64_t)(bits - length[m]) * f[m];
+            length[m] = bits;
+          }
+          nn--;
+        }
+      }
+    }
+    // gen_codes
+    uint32_t next_code[16] = {0};
+    uint32_t code = 0;
+    for (int bits = 1; bits <= max_length; bits++) {
+      code = (code + bl_count[bits - 1]) << 1;
+      next_code[bits] = code;
+    }
+    for (int nn = 0; nn <= max_code; nn++) {
+      int ln = length[nn];
+      lens[nn] = (uint8_t)ln;
+      codes[nn] = ln ? (uint16_t)bit_reverse(next_code[ln]++, ln) : 0;
+    }
+    for (int nn = max_code + 1; nn < elems; nn++) { lens[nn] = 0; codes[nn] = 0; }
+    return max_code;
+  }
+};
+
+const int EXTRA_BL_N[19] = {0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,2,3,7};
+const int BL_ORDER_N[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
+constexpr int REP_3_6_N = 16, REPZ_3_10_N = 17, REPZ_11_138_N = 18;
+
+// scan_tree / send_tree: zlib's exact run-coalescing state machine
+void scan_tree_n(const uint8_t* lens, int max_code, uint32_t* bl_freq) {
+  int prevlen = -1;
+  int nextlen = lens[0];
+  int count = 0;
+  int max_count = nextlen == 0 ? 138 : 7;
+  int min_count = nextlen == 0 ? 3 : 4;
+  for (int n = 0; n <= max_code; n++) {
+    int curlen = nextlen;
+    nextlen = n + 1 <= max_code ? lens[n + 1] : 0xffff;
+    if (++count < max_count && curlen == nextlen) continue;
+    else if (count < min_count) bl_freq[curlen] += count;
+    else if (curlen != 0) {
+      if (curlen != prevlen) bl_freq[curlen]++;
+      bl_freq[REP_3_6_N]++;
+    } else if (count <= 10) bl_freq[REPZ_3_10_N]++;
+    else bl_freq[REPZ_11_138_N]++;
+    count = 0;
+    prevlen = curlen;
+    if (nextlen == 0) { max_count = 138; min_count = 3; }
+    else if (curlen == nextlen) { max_count = 6; min_count = 3; }
+    else { max_count = 7; min_count = 4; }
+  }
+}
+
+void send_tree_n(BitWriter& bw, const uint8_t* lens, int max_code,
+                 const uint8_t* bl_len, const uint16_t* bl_code) {
+  int prevlen = -1;
+  int nextlen = lens[0];
+  int count = 0;
+  int max_count = nextlen == 0 ? 138 : 7;
+  int min_count = nextlen == 0 ? 3 : 4;
+  for (int n = 0; n <= max_code; n++) {
+    int curlen = nextlen;
+    nextlen = n + 1 <= max_code ? lens[n + 1] : 0xffff;
+    if (++count < max_count && curlen == nextlen) continue;
+    else if (count < min_count) {
+      do { bw.put(bl_code[curlen], bl_len[curlen]); } while (--count != 0);
+    } else if (curlen != 0) {
+      if (curlen != prevlen) { bw.put(bl_code[curlen], bl_len[curlen]); count--; }
+      bw.put(bl_code[REP_3_6_N], bl_len[REP_3_6_N]);
+      bw.put(count - 3, 2);
+    } else if (count <= 10) {
+      bw.put(bl_code[REPZ_3_10_N], bl_len[REPZ_3_10_N]);
+      bw.put(count - 3, 3);
+    } else {
+      bw.put(bl_code[REPZ_11_138_N], bl_len[REPZ_11_138_N]);
+      bw.put(count - 11, 7);
+    }
+    count = 0;
+    prevlen = curlen;
+    if (nextlen == 0) { max_count = 138; min_count = 3; }
+    else if (curlen == nextlen) { max_count = 6; min_count = 3; }
+    else { max_count = 7; min_count = 4; }
+  }
+}
+
 struct Sym { uint16_t dist; uint16_t lenlit; };  // dist==0 -> literal
 
 struct ChunkDeflater {
-  const uint8_t* base;   // dict start
+  const uint8_t* base;   // window position 0 (dict start when priming)
   size_t dict_len, n;    // input is base[dict_len .. dict_len+n)
   int level;
   std::vector<int32_t> head, prev;
@@ -276,50 +422,96 @@ struct ChunkDeflater {
   BitWriter bw;
   size_t block_start;    // absolute offset of current block start
 
+  // lazy matcher carry state (zlib State fields)
+  int match_length = MIN_MATCH - 1;
+  size_t match_start = 0;
+  int prev_length = MIN_MATCH - 1;
+  size_t prev_start = 0;
+  bool match_available = false;
+
   ChunkDeflater(const uint8_t* dict, size_t dlen, const uint8_t* in, size_t len,
                 int lvl, std::vector<uint8_t>& o)
       : base(nullptr), dict_len(dlen), n(len), level(lvl),
-        head(HASH_SIZE_N, -1), prev(WSIZE, -1), out(o), bw(o) {
+        head(HASH_SIZE_N, 0), prev(WSIZE, 0), out(o), bw(o) {
     // contiguity: caller guarantees dict immediately precedes in when both set
     base = in - dlen;
     (void)dict;
     block_start = dict_len;
   }
 
-  inline void insert(size_t pos, size_t total) {
-    if (pos + 4 > total) return;
-    uint32_t h = hash4(base + pos);
+  // NIL == position 0: base[0] plays zlib's window offset 0 and is never a
+  // match candidate (head/prev value 0 means "empty chain")
+  inline void insert(size_t pos) {
+    uint32_t h = hash3(base + pos);
     prev[pos & (WSIZE - 1)] = head[h];
     head[h] = (int32_t)pos;
   }
 
-  void longest(size_t pos, size_t total, int prev_len, int& best_len, int& best_dist) {
-    best_len = 0; best_dist = 0;
-    int maxl = (int)std::min<size_t>(MAX_MATCH, total - pos);
-    if (maxl < MIN_MATCH || pos + 4 > total) return;
+  // common-prefix length vs the zero-extended buffer (zlib's high_water
+  // padding makes reads past the data end behave as zeros)
+  inline int match_len_z(size_t pos, size_t cur, size_t total) const {
+    if (pos + MAX_MATCH <= total)
+      return match_len_fast(base + pos, base + cur, MAX_MATCH);
+    uint8_t pa[MAX_MATCH], pb[MAX_MATCH];
+    size_t na = std::min<size_t>(MAX_MATCH, total - cur);
+    size_t nb = total - pos;
+    std::memset(pa, 0, sizeof pa);
+    std::memset(pb, 0, sizeof pb);
+    std::memcpy(pa, base + cur, na);
+    std::memcpy(pb, base + pos, nb);
+    return match_len_fast(pb, pa, MAX_MATCH);
+  }
+
+  // zlib's longest_match, decision-for-decision (walk order, budget,
+  // quartering, nice/lookahead clamps, strict limit). The hot path uses
+  // zlib's anchored 4-byte pre-reject (tail pair + head pair), which can
+  // only skip candidates that cannot beat best_len — outcome-neutral.
+  int longest(size_t pos, size_t total, int cur, int prev_len, int& best_dist) {
     const LevelCfg& cfg = LEVELS[level];
-    int chain = cfg.chain > 0 ? cfg.chain : 1;
-    if (cfg.good && prev_len >= cfg.good) chain >>= 2;
-    int nice = std::min(std::max(cfg.nice, MIN_MATCH), maxl);
-    int cur = head[hash4(base + pos)];
-    if (cur == (int)pos) cur = prev[pos & (WSIZE - 1)];
-    int bl = prev_len;
-    const uint8_t* here = base + pos;
-    while (cur >= 0 && chain-- > 0) {
-      int dist = (int)pos - cur;
-      if (dist > WSIZE - 262) break;
-      const uint8_t* cand = base + cur;
-      if (bl > 0 && (bl >= maxl || cand[bl] != here[bl])) { cur = prev[cur & (WSIZE - 1)]; continue; }
-      int ml = match_len(here, cand, maxl);
-      if (ml > bl) {
-        bl = ml; best_len = ml; best_dist = dist;
-        if (ml >= nice) break;
+    int lookahead = (int)(total - pos);
+    int chain = cfg.chain;
+    int best_len = prev_len;
+    if (prev_len >= cfg.good) chain >>= 2;
+    int nice = cfg.nice;
+    if (nice > lookahead) nice = lookahead;
+    long limit = (long)pos - MAX_DIST_N;
+    if (limit < 0) limit = 0;
+    best_dist = 0;
+    if (pos + MAX_MATCH <= total) {
+      const uint8_t* here = base + pos;
+      uint8_t end0 = here[best_len], end1 = here[best_len - 1];
+      uint8_t h0 = here[0], h1 = here[1];
+      for (;;) {
+        const uint8_t* cand = base + cur;
+        if (cand[best_len] == end0 && cand[best_len - 1] == end1 &&
+            cand[0] == h0 && cand[1] == h1) {
+          int ml = match_len_fast(here, cand, MAX_MATCH);
+          if (ml > best_len) {
+            best_len = ml;
+            best_dist = (int)((long)pos - cur);
+            if (ml >= nice) break;
+            end0 = here[best_len];
+            end1 = here[best_len - 1];
+          }
+        }
+        cur = prev[cur & (WSIZE - 1)];
+        if (cur <= limit) break;
+        if (--chain == 0) break;
       }
-      int nxt = prev[cur & (WSIZE - 1)];
-      if (nxt >= cur) break;
-      cur = nxt;
+    } else {
+      for (;;) {
+        int ml = match_len_z(pos, (size_t)cur, total);
+        if (ml > best_len) {
+          best_len = ml;
+          best_dist = (int)((long)pos - cur);
+          if (ml >= nice) break;
+        }
+        cur = prev[cur & (WSIZE - 1)];
+        if (cur <= limit) break;
+        if (--chain == 0) break;
+      }
     }
-    if (best_len == MIN_MATCH && best_dist > 4096) { best_len = 0; best_dist = 0; }
+    return best_len <= lookahead ? best_len : lookahead;
   }
 
   // ---- block emission -----------------------------------------------------
@@ -356,173 +548,181 @@ struct ChunkDeflater {
     bw.put(llc[256], lll[256]);  // EOB
   }
 
-  // RLE-encode a code length sequence with the 19-symbol alphabet
-  struct RleSym { uint8_t sym; uint8_t val; uint8_t bits; };
-  static void rle_lens(const uint8_t* lens, int n, std::vector<RleSym>& outv) {
-    int i = 0, prev = -1;
-    while (i < n) {
-      int cur = lens[i], run = 1;
-      while (i + run < n && lens[i + run] == cur) run++;
-      int count = run;
-      if (cur == 0) {
-        while (count >= 11) { int t = std::min(count, 138); outv.push_back({18, (uint8_t)(t - 11), 7}); count -= t; }
-        if (count >= 3) { outv.push_back({17, (uint8_t)(count - 3), 3}); count = 0; }
-        while (count--) outv.push_back({0, 0, 0});
-      } else {
-        if (prev != cur) { outv.push_back({(uint8_t)cur, 0, 0}); count--; }
-        while (count >= 3) { int t = std::min(count, 6); outv.push_back({16, (uint8_t)(t - 3), 2}); count -= t; }
-        while (count-- > 0) outv.push_back({(uint8_t)cur, 0, 0});
-      }
-      prev = cur;
-      i += run;
-    }
-  }
-
+  // zlib's _tr_flush_block: exact trees, whole-byte cost rule
   void flush_block(bool last, size_t block_end) {
-    // frequencies
-    uint32_t llf[286] = {0}, df[30] = {0};
-    for (const Sym& s : syms) {
-      if (s.dist == 0) llf[s.lenlit]++;
-      else { llf[257 + RFC.len_code[s.lenlit - 3]]++; df[dist_to_code(s.dist)]++; }
-    }
-    llf[256]++;
-    uint8_t lll[286], dl[30];
-    huffman_lengths(llf, 286, 15, lll);
-    huffman_lengths(df, 30, 15, dl);
-    int nlen = 257, ndist = 1;
-    for (int i = 0; i < 286; i++) if (lll[i]) nlen = std::max(nlen, i + 1);
-    for (int i = 0; i < 30; i++) if (dl[i]) ndist = std::max(ndist, i + 1);
+    size_t stored_len = block_end - block_start;
+    uint64_t opt_lenb, static_lenb;
+    uint8_t lll[L_CODES_N], dl[D_CODES_N], bll[BL_CODES_N];
+    uint16_t llc[L_CODES_N], dc[D_CODES_N], blc[BL_CODES_N];
+    int l_max = 0, d_max = 0, max_blindex = 0;
 
-    std::vector<RleSym> rle;
-    rle_lens(lll, nlen, rle);
-    size_t split = rle.size();
-    rle_lens(dl, ndist, rle);
-    uint32_t blf[19] = {0};
-    uint64_t extra_bl = 0;
-    for (auto& r : rle) { blf[r.sym]++; extra_bl += r.bits; }
-    uint8_t bll[19];
-    huffman_lengths(blf, 19, 7, bll);
-    static const int ORDER[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
-    int hclen = 19;
-    while (hclen > 4 && bll[ORDER[hclen - 1]] == 0) hclen--;
-
-    // costs
-    uint64_t opt = 5 + 5 + 4 + 3ull * hclen + extra_bl;
-    for (int i = 0; i < 19; i++) opt += (uint64_t)blf[i] * bll[i];
-    uint64_t dynbody = 0, statbody = 0;
-    for (int i = 0; i < 286; i++) {
-      int extra = i >= 257 && i < 286 ? RFC.len_extra[std::min(i - 257, 28)] : 0;
-      dynbody += (uint64_t)llf[i] * (lll[i] + extra);
-      int sl = i < 144 ? 8 : i < 256 ? 9 : i < 280 ? 7 : 8;
-      statbody += (uint64_t)llf[i] * (sl + extra);
+    if (level > 0) {
+      uint32_t llf[L_CODES_N] = {0}, df[D_CODES_N] = {0};
+      llf[256] = 1;
+      for (const Sym& s : syms) {
+        if (s.dist == 0) llf[s.lenlit]++;
+        else { llf[257 + RFC.len_code[s.lenlit - 3]]++; df[dist_to_code(s.dist)]++; }
+      }
+      static const int* lextra = RFC.len_extra;
+      TreeBuild tb;
+      l_max = tb.build(llf, L_CODES_N, STATIC_TREES.lll, lextra, 257, 15, lll, llc);
+      d_max = tb.build(df, D_CODES_N, STATIC_TREES.dl, RFC.dist_extra, 0, 15, dl, dc);
+      uint32_t blf[BL_CODES_N] = {0};
+      scan_tree_n(lll, l_max, blf);
+      scan_tree_n(dl, d_max, blf);
+      tb.build(blf, BL_CODES_N, nullptr, EXTRA_BL_N, 0, 7, bll, blc);
+      max_blindex = BL_CODES_N - 1;
+      while (max_blindex >= 3 && bll[BL_ORDER_N[max_blindex]] == 0) max_blindex--;
+      tb.opt_len += 3ull * (max_blindex + 1) + 5 + 5 + 4;
+      opt_lenb = (tb.opt_len + 3 + 7) >> 3;
+      static_lenb = (tb.static_len + 3 + 7) >> 3;
+      if (static_lenb <= opt_lenb) opt_lenb = static_lenb;
+    } else {
+      opt_lenb = static_lenb = stored_len + 5;
     }
-    for (int i = 0; i < 30; i++) {
-      dynbody += (uint64_t)df[i] * (dl[i] + RFC.dist_extra[i]);
-      statbody += (uint64_t)df[i] * (5 + RFC.dist_extra[i]);
-    }
-    opt += dynbody;
-    size_t nbytes = block_end - block_start;
-    uint64_t stored_bits = 8ull * nbytes + 40ull * std::max<uint64_t>(1, (nbytes + 65534) / 65535);
 
-    if (stored_bits <= std::min(opt, statbody) + 3 && nbytes > 0) {
-      emit_stored(base + block_start, nbytes, last);
-    } else if (statbody <= opt) {
-      bw.put(last ? 1 : 0, 1);
-      bw.put(1, 2);
+    if (stored_len + 4 <= opt_lenb) {
+      emit_stored(base + block_start, stored_len, last);
+    } else if (static_lenb == opt_lenb) {
+      bw.put((1 << 1) + (last ? 1 : 0), 3);
       emit_symbols(STATIC_TREES.llc, STATIC_TREES.lll, STATIC_TREES.dc,
                    STATIC_TREES.dl);
     } else {
-      uint16_t llc[286], dc[30], blc[19];
-      canonical_codes(lll, 286, llc);
-      canonical_codes(dl, 30, dc);
-      canonical_codes(bll, 19, blc);
-      bw.put(last ? 1 : 0, 1);
-      bw.put(2, 2);
-      bw.put(nlen - 257, 5);
-      bw.put(ndist - 1, 5);
-      bw.put(hclen - 4, 4);
-      for (int i = 0; i < hclen; i++) bw.put(bll[ORDER[i]], 3);
-      for (auto& r : rle) {
-        bw.put(blc[r.sym], bll[r.sym]);
-        if (r.bits) bw.put(r.val, r.bits);
-      }
+      bw.put((2 << 1) + (last ? 1 : 0), 3);
+      bw.put(l_max + 1 - 257, 5);
+      bw.put(d_max + 1 - 1, 5);
+      bw.put(max_blindex + 1 - 4, 4);
+      for (int i = 0; i <= max_blindex; i++) bw.put(bll[BL_ORDER_N[i]], 3);
+      send_tree_n(bw, lll, l_max, bll, blc);
+      send_tree_n(bw, dl, d_max, bll, blc);
       emit_symbols(llc, lll, dc, dl);
     }
-    (void)split;
     syms.clear();
     block_start = block_end;
   }
 
+  // greedy loop, levels 1-3 (zlib deflate_fast)
+  void run_fast(size_t total) {
+    const LevelCfg& cfg = LEVELS[level];
+    size_t pos = dict_len > 0 ? dict_len : 0;
+    // dictionary pre-insertion (positions 0..dict_len-3; position 0 stays
+    // NIL-invisible because head/prev value 0 reads as empty)
+    for (size_t i = 0; i + MIN_MATCH <= dict_len; i++) insert(i);
+    while (pos < total) {
+      int hash_head = 0;
+      if (pos + MIN_MATCH <= total) {
+        insert(pos);
+        hash_head = prev[pos & (WSIZE - 1)];
+      }
+      int ml = 0, mdist = 0;
+      if (hash_head > 0 && (long)pos - hash_head <= MAX_DIST_N)
+        ml = longest(pos, total, hash_head, MIN_MATCH - 1, mdist);
+      if (ml >= MIN_MATCH && mdist > 0) {
+        syms.push_back({(uint16_t)mdist, (uint16_t)ml});
+        size_t end = pos + (size_t)ml;
+        if ((size_t)ml <= (size_t)cfg.lazy && total - end >= MIN_MATCH) {
+          for (size_t p2 = pos + 1; p2 < end; p2++) insert(p2);
+        }
+        // a match longer than max_insert_length skips insertion entirely
+        pos = end;
+      } else {
+        syms.push_back({0, base[pos]});
+        pos++;
+      }
+      if (syms.size() >= SYM_END_N) flush_block(false, pos);
+    }
+  }
+
+  // lazy loop, levels 4-9 (zlib deflate_slow)
+  void run_slow(size_t total) {
+    const LevelCfg& cfg = LEVELS[level];
+    size_t pos = dict_len > 0 ? dict_len : 0;
+    for (size_t i = 0; i + MIN_MATCH <= dict_len; i++) insert(i);
+    while (pos < total) {
+      int hash_head = 0;
+      if (pos + MIN_MATCH <= total) {
+        insert(pos);
+        hash_head = prev[pos & (WSIZE - 1)];
+      }
+      prev_length = match_length;
+      prev_start = match_start;
+      match_length = MIN_MATCH - 1;
+      if (hash_head > 0 && prev_length < cfg.lazy &&
+          (long)pos - hash_head <= MAX_DIST_N) {
+        int mdist = 0;
+        int ml = longest(pos, total, hash_head, prev_length, mdist);
+        match_length = ml;
+        if (mdist > 0) match_start = pos - mdist;
+        if (match_length <= 5 &&
+            (match_length == MIN_MATCH && pos - match_start > TOO_FAR_N))
+          match_length = MIN_MATCH - 1;
+      }
+      if (prev_length >= MIN_MATCH && match_length <= prev_length) {
+        // deferred match at pos-1 wins; insert covered positions
+        // pos+1 .. pos+prev_length-2 (the next current position is
+        // inserted at its own scan step)
+        syms.push_back({(uint16_t)(pos - 1 - prev_start), (uint16_t)prev_length});
+        size_t end_ins = pos + (size_t)prev_length - 1;  // exclusive
+        for (size_t p2 = pos + 1; p2 < end_ins; p2++)
+          if (p2 + MIN_MATCH <= total) insert(p2);
+        pos = pos + prev_length - 1;
+        match_available = false;
+        match_length = MIN_MATCH - 1;
+        if (syms.size() >= SYM_END_N) flush_block(false, pos);
+      } else if (match_available) {
+        syms.push_back({0, base[pos - 1]});
+        if (syms.size() >= SYM_END_N) flush_block(false, pos);
+        pos++;
+      } else {
+        match_available = true;
+        pos++;
+      }
+    }
+    if (match_available) {
+      syms.push_back({0, base[total - 1]});
+      match_available = false;
+    }
+  }
+
   void run(bool final_flag) {
     size_t total = dict_len + n;
-    // pre-insert dictionary positions
-    for (size_t i = dict_len > WSIZE ? dict_len - WSIZE : 0; i + 4 <= dict_len; i++)
-      insert(i, total);
-    size_t pos = dict_len;
-    const LevelCfg& cfg = LEVELS[level];
-    bool lazy_mode = level >= 4;
-    int prev_len = 0, prev_dist = 0;
-    bool match_avail = false;
-    const size_t SYM_LIMIT = 1 << 14;
 
     if (level == 0) {
-      emit_stored(base + dict_len, n, final_flag);
-      if (!final_flag) { bw.align(); }
+      // ample-output stored schedule: 64K-1 blocks, last flag on remainder
+      if (final_flag) {
+        size_t pos = dict_len;
+        for (;;) {
+          size_t take = std::min<size_t>(total - pos, 65535);
+          bool lastb = take == total - pos;
+          emit_stored(base + pos, take, lastb);
+          pos += take;
+          if (lastb) break;
+        }
+      } else {
+        emit_stored(base + dict_len, n, false);
+        bw.align();
+      }
+      block_start = total;
+      if (!final_flag) {
+        bw.put(0, 1); bw.put(0, 2); bw.align();
+        out.push_back(0x00); out.push_back(0x00);
+        out.push_back(0xff); out.push_back(0xff);
+      }
       return;
     }
 
-    while (pos < total) {
-      insert(pos, total);
-      int len = 0, dist = 0;
-      if (!match_avail || prev_len < cfg.lazy)
-        longest(pos, total, match_avail ? prev_len : 0, len, dist);
-      if (lazy_mode) {
-        if (match_avail) {
-          if (len > prev_len) {
-            syms.push_back({0, base[pos - 1]});
-            prev_len = len; prev_dist = dist;
-          } else {
-            syms.push_back({(uint16_t)prev_dist, (uint16_t)prev_len});
-            size_t end = pos - 1 + prev_len;
-            while (++pos < end) insert(pos, total);
-            match_avail = false;
-            if (syms.size() >= SYM_LIMIT) flush_block(false, pos);
-            continue;
-          }
-        } else if (len >= MIN_MATCH) {
-          prev_len = len; prev_dist = dist; match_avail = true;
-        } else {
-          syms.push_back({0, base[pos]});
-        }
-        pos++;
-      } else {
-        if (len >= MIN_MATCH) {
-          syms.push_back({(uint16_t)dist, (uint16_t)len});
-          size_t end = pos + len;
-          while (++pos < end) insert(pos, total);
-        } else {
-          syms.push_back({0, base[pos]});
-          pos++;
-        }
-      }
-      if (syms.size() >= SYM_LIMIT) {
-        if (lazy_mode && match_avail) continue;  // finish pending first
-        flush_block(false, pos);
-      }
-    }
-    if (match_avail) {
-      if (prev_len >= MIN_MATCH && pos - 1 + prev_len <= total)
-        syms.push_back({(uint16_t)prev_dist, (uint16_t)prev_len});
-      else
-        syms.push_back({0, base[pos - 1]});
-    }
-    if (!syms.empty() || block_start < total || final_flag) flush_block(final_flag, total);
-    if (!final_flag) {
+    if (LEVELS[level].slow) run_slow(total);
+    else run_fast(total);
+
+    if (final_flag) {
+      flush_block(true, total);
+      bw.align();
+    } else {
+      if (!syms.empty() || block_start < total) flush_block(false, total);
       // sync seam: byte-align with an empty stored block
       bw.put(0, 1); bw.put(0, 2); bw.align();
-      out.push_back(0x00); out.push_back(0x00); out.push_back(0xff); out.push_back(0xff);
-    } else {
-      bw.align();
+      out.push_back(0x00); out.push_back(0x00);
+      out.push_back(0xff); out.push_back(0xff);
     }
   }
 };
@@ -659,15 +859,49 @@ struct BitReader {
   size_t consumed(const uint8_t* start) const { return (p - start) - cnt / 8; }
 };
 
+// Optional extensions to the raw-inflate loop: start mid-stream (skip_bits
+// of the first byte already consumed, `hist` bytes of window history
+// pre-filled in out[0..hist)), stop once `cap` output bytes exist
+// (random-access extract), and/or record zran access points (absolute bit
+// position + output offset) at block boundaries every `span` output bytes.
+// This is the native engine's analogue of the seam primitives the reference
+// exposes for random access (inflatePrime inflate.rs:2165, Z_BLOCK stops,
+// inflateMark inflate.rs:2611) fused into the hot loop.
+struct RegionOpts {
+  size_t hist = 0;
+  int skip_bits = 0;
+  bool stop_at_cap = false;
+  uint64_t span = 0;
+  uint64_t* pts = nullptr;   // pairs: (out_offset, bit_position)
+  size_t cap_pts = 0;
+  size_t* npts = nullptr;
+};
+
 // returns out length, or -1 on data error, -2 on output overflow, -3 truncated.
 // With allow_region_end, input ending cleanly at a block boundary is success
 // (chunk bodies from the parallel seam format have no BFINAL).
 long inflate_raw_impl(const uint8_t* in, size_t nin, uint8_t* out, size_t cap,
-                      size_t* in_used, bool allow_region_end = false) {
+                      size_t* in_used, bool allow_region_end = false,
+                      const RegionOpts* ro = nullptr) {
   BitReader br(in, nin);
-  size_t op = 0;
+  size_t op = ro ? ro->hist : 0;
+  const bool stop_cap = ro && ro->stop_at_cap;
+  uint64_t last_pt = op;
+  if (ro && ro->npts) *ro->npts = 0;
+  if (ro && ro->skip_bits) {
+    if (!br.need(8)) return -3;
+    br.drop(ro->skip_bits);
+  }
   static const int ORDER[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
   for (;;) {
+    if (ro && ro->pts && op > (ro ? ro->hist : 0) && op - last_pt >= ro->span &&
+        *ro->npts < ro->cap_pts) {
+      uint64_t bitpos = (uint64_t)(br.p - in) * 8 - br.cnt;
+      ro->pts[2 * *ro->npts] = op;
+      ro->pts[2 * *ro->npts + 1] = bitpos;
+      (*ro->npts)++;
+      last_pt = op;
+    }
     if (!br.need(3)) {
       if (allow_region_end && br.cnt < 3) { if (in_used) *in_used = nin; return (long)op; }
       return -3;
@@ -680,7 +914,10 @@ long inflate_raw_impl(const uint8_t* in, size_t nin, uint8_t* out, size_t cap,
       unsigned len = br.peek(16); br.drop(16);
       unsigned nlen = br.peek(16); br.drop(16);
       if ((len ^ nlen) != 0xffff) return -1;
-      if (op + len > cap) return -2;
+      if (op + len > cap) {
+        if (!stop_cap) return -2;
+        len = (unsigned)(cap - op);
+      }
       // bytes still in the bit buffer come first
       while (len && br.cnt >= 8) { out[op++] = (uint8_t)br.peek(8); br.drop(8); len--; }
       if (len) {
@@ -689,6 +926,7 @@ long inflate_raw_impl(const uint8_t* in, size_t nin, uint8_t* out, size_t cap,
         br.p += len; op += len;
         br.clear_stale();  // p jumped: bits above cnt no longer match *p
       }
+      if (stop_cap && op >= cap) { if (in_used) *in_used = br.consumed(in); return (long)op; }
     } else if (type == 3) {
       return -1;
     } else {
@@ -767,7 +1005,7 @@ long inflate_raw_impl(const uint8_t* in, size_t nin, uint8_t* out, size_t cap,
         }
         if (br.cnt < nb) { if (!br.need(nb)) return -3; continue; }
         if (kind == 0) {
-          if (op >= cap) return -2;
+          if (op >= cap) { if (stop_cap) { if (in_used) *in_used = br.consumed(in); return (long)op; } return -2; }
           br.drop(nb);
           out[op++] = (uint8_t)(e & 0xff);
           continue;
@@ -795,7 +1033,11 @@ long inflate_raw_impl(const uint8_t* in, size_t nin, uint8_t* out, size_t cap,
         int dist = (int)(de & 0xffff) + (daux ? (int)br.peek(daux) : 0);
         if (daux) br.drop(daux);
         if ((size_t)dist > op) return -1;
-        if (op + length > cap) return -2;
+        if (op + length > cap) {
+          if (!stop_cap) return -2;
+          length = (int)(cap - op);
+          if (length <= 0) { if (in_used) *in_used = br.consumed(in); return (long)op; }
+        }
         // overlap-safe back copy
         const uint8_t* src = out + op - dist;
         if (dist >= 8 && length <= dist) {
@@ -805,6 +1047,7 @@ long inflate_raw_impl(const uint8_t* in, size_t nin, uint8_t* out, size_t cap,
           for (int i = 0; i < length; i++) out[op + i] = src[i];
           op += length;
         }
+        if (stop_cap && op >= cap) { if (in_used) *in_used = br.consumed(in); return (long)op; }
       }
     }
     if (final_f) break;
@@ -859,6 +1102,39 @@ long zrs_deflate_chunk(const uint8_t* dict, size_t dict_len, const uint8_t* in,
 long zrs_inflate_raw(const uint8_t* in, size_t n, uint8_t* out, size_t cap,
                      size_t* in_used) {
   return inflate_raw_impl(in, n, out, cap, in_used);
+}
+
+// zran index build: decode the whole raw stream once, recording access
+// points (out_offset, absolute bit position) at block boundaries every
+// `span` output bytes. Returns total output length; *n_points holds the
+// number of recorded (pair) entries.
+long zrs_zran_index(const uint8_t* in, size_t n, uint8_t* out, size_t cap,
+                    uint64_t span, uint64_t* pts, size_t cap_pts,
+                    size_t* n_points, size_t* in_used) {
+  RegionOpts ro;
+  ro.span = span;
+  ro.pts = pts;
+  ro.cap_pts = cap_pts;
+  ro.npts = n_points;
+  return inflate_raw_impl(in, n, out, cap, in_used, false, &ro);
+}
+
+// Random-access region decode: resume a raw stream at a zran access point.
+// `in` points at the byte containing the block header, `skip_bits` of its
+// low bits are already consumed; `window` (wlen <= 32768 bytes) is the
+// uncompressed history. Decodes until `want` bytes are produced (or the
+// stream/input ends). Returns the number of bytes written to `out`.
+long zrs_inflate_region(const uint8_t* in, size_t n, int skip_bits,
+                        const uint8_t* window, size_t wlen, uint8_t* out_full,
+                        size_t want) {
+  if (wlen) std::memcpy(out_full, window, wlen);
+  RegionOpts ro;
+  ro.hist = wlen;
+  ro.skip_bits = skip_bits;
+  ro.stop_at_cap = true;
+  long r = inflate_raw_impl(in, n, out_full, wlen + want, nullptr, true, &ro);
+  if (r < 0) return r;
+  return r - (long)wlen;
 }
 
 // pigz-style multithreaded chunked deflate: one raw stream, sync seams

@@ -242,3 +242,39 @@ class TestReferenceFixtureVectors:
         assert ours_oneshot(data, 6, mem_level=mem_level) == zoracle(
             data, 6, mem_level=mem_level
         )
+
+
+class TestNativeEngineByteEquality:
+    """The C++ engine (native/zrs_native.cpp) reproduces the oracle too —
+    the fast path and the host reference engine emit identical streams."""
+
+    @pytest.fixture(autouse=True)
+    def _need_native(self):
+        from zlib_rs_tpu import native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+
+    @pytest.mark.parametrize("name", CORPORA)
+    @pytest.mark.parametrize("level", [1, 2, 3, 4, 5, 6, 7, 8, 9])
+    def test_native_raw_all_levels(self, name, level):
+        from zlib_rs_tpu import native
+
+        data = corpus(name)
+        ours = native.deflate_chunk(data, level=level, final=True)
+        ref = zoracle(data, level)
+        assert ours == ref, first_divergence(ref, ours)
+
+    def test_native_2mb_window_slides(self):
+        from zlib_rs_tpu import native
+
+        big = (open("/bin/bash", "rb").read()[:400000] + corpus("lcet") * 8)[:2000000]
+        for level in (1, 6, 9):
+            assert native.deflate_chunk(big, level=level, final=True) == zoracle(big, level)
+
+    def test_oneshot_api_equals_zlib_compress(self):
+        import zlib_rs_tpu as z
+
+        data = open("/bin/bash", "rb").read()[:300000]
+        for level in (1, 6, 9):
+            assert z.compress(data, level) == zlib.compress(data, level)

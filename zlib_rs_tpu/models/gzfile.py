@@ -109,6 +109,7 @@ class GzFile:
             self._inbuf = b""  # compressed bytes read but not yet consumed
             self._outbuf = bytearray()  # decoded bytes not yet delivered
             self._start = self._fp.tell() if self._fp.seekable() else 0
+            self._comp_read = 0  # compressed bytes consumed from the fd
         else:
             self._def: Deflator | None = None
             if not transparent:
@@ -138,6 +139,7 @@ class GzFile:
             self._eof = True
             return False
         self._inbuf += chunk
+        self._comp_read += len(chunk)
         return True
 
     def _look(self) -> None:
@@ -283,6 +285,22 @@ class GzFile:
 
     # -- positioning ---------------------------------------------------------
 
+    def offset(self) -> int:
+        """gzoffset/gzoffset64 (reference: gz.rs:2024-2064): current raw
+        position in the compressed file — bytes consumed from the underlying
+        file minus input still buffered (read mode), or bytes written so far
+        (write mode)."""
+        if self._closed:
+            self._set_err(ReturnCode.StreamError, "file is closed")
+        if self.mode == "r":
+            if self._fp.seekable():
+                return self._fp.tell() - len(self._inbuf)
+            return self._start + self._comp_read - len(self._inbuf)
+        try:
+            return self._fp.tell()
+        except (OSError, ValueError):
+            return -1
+
     def tell(self) -> int:
         """gztell: uncompressed offset."""
         return self._pos
@@ -400,3 +418,33 @@ class GzFile:
 def gzopen(path, mode: str = "rb", buffer_size: int = GZBUFSIZE) -> GzFile:
     """gzopen (reference: gz.rs gzopen)."""
     return GzFile(path, mode, buffer_size=buffer_size)
+
+
+def gzdopen(fd: int, mode: str = "rb", buffer_size: int = GZBUFSIZE) -> GzFile:
+    """gzdopen (reference: gz.rs:258): open a gz stream over an existing
+    file descriptor. The descriptor is owned by the returned handle (closed
+    on close), matching zlib's contract."""
+    op = mode.replace("b", "")[:1] or "r"
+    fmode = {"r": "rb", "w": "wb", "a": "ab"}.get(op, "rb")
+    fileobj = os.fdopen(fd, fmode)
+    f = GzFile(None, mode, fileobj=fileobj, buffer_size=buffer_size)
+    f._owns_fp = True  # gzdopen transfers fd ownership
+    return f
+
+
+def gzclose_r(f: GzFile) -> ReturnCode:
+    """gzclose_r (reference: gz.rs:627): close a read-mode handle;
+    StreamError if the handle was opened for writing."""
+    if f.mode != "r":
+        return ReturnCode.StreamError
+    f.close()
+    return ReturnCode.Ok
+
+
+def gzclose_w(f: GzFile) -> ReturnCode:
+    """gzclose_w (reference: gz.rs:676): close a write-mode handle;
+    StreamError if the handle was opened for reading."""
+    if f.mode not in ("w", "a"):
+        return ReturnCode.StreamError
+    f.close()
+    return ReturnCode.Ok

@@ -46,10 +46,42 @@ class DeflateIndex:
         return best
 
 
+def _wrapper_span(data: bytes) -> tuple[int, str]:
+    """Return (header_length, kind) for a zlib/gzip/raw stream."""
+    if len(data) >= 2 and data[:2] == b"\x1f\x8b":
+        flg = data[3]
+        pos = 10
+        if flg & 0x04:  # FEXTRA
+            xlen = int.from_bytes(data[pos : pos + 2], "little")
+            pos += 2 + xlen
+        if flg & 0x08:  # FNAME
+            pos = data.index(0, pos) + 1
+        if flg & 0x10:  # FCOMMENT
+            pos = data.index(0, pos) + 1
+        if flg & 0x02:  # FHCRC
+            pos += 2
+        return pos, "gzip"
+    if (
+        len(data) >= 2
+        and (data[0] & 0x0F) == 8
+        and ((data[0] << 8) | data[1]) % 31 == 0
+    ):
+        hdr = 2 + (4 if data[1] & 0x20 else 0)  # FDICT adds the dict id
+        return hdr, "zlib"
+    return 0, "raw"
+
+
 def build_index(data: bytes, span: int = 1 << 20) -> DeflateIndex:
     """One sequential pass over a zlib/gzip/raw stream recording access
-    points roughly every `span` uncompressed bytes (zran's build pass,
-    driven by our engine's Z_BLOCK stop points)."""
+    points roughly every `span` uncompressed bytes (zran's build pass).
+
+    Uses the native engine's fused index pass (zrs_zran_index — the Z_BLOCK
+    stop points recorded inside the inflate hot loop) when available,
+    falling back to the Python engine. The native path covers
+    single-member streams; multi-member gzip falls back."""
+    native_idx = _build_index_native(data, span)
+    if native_idx is not None:
+        return native_idx
     inf = Inflator(InflateConfig(window_bits=47))
     points: list[AccessPoint] = []
     out_total = 0
@@ -93,11 +125,100 @@ def build_index(data: bytes, span: int = 1 << 20) -> DeflateIndex:
     return DeflateIndex(points=points, total_out=out_total, wrapper_offset=0)
 
 
+def _build_index_native(data: bytes, span: int) -> DeflateIndex | None:
+    from .. import native
+
+    if not native.available():
+        return None
+    hdr, kind = _wrapper_span(data)
+    body = data[hdr:]
+    max_out = max(4 * len(body), 1 << 20)
+    for _ in range(4):
+        try:
+            full, raw_points, in_used = native.zran_index(body, span, max_out)
+            break
+        except BufferError:
+            max_out *= 4
+        except ValueError:
+            return None
+    else:
+        return None
+    # the native pass handles one member; a multi-member gzip has another
+    # magic after this member's 8-byte trailer — fall back for those
+    if kind == "gzip" and len(body) - in_used > 8:
+        return None
+    # verify the container checksum so a corrupt stream is not indexed
+    if kind == "zlib":
+        if native.adler32(full) != int.from_bytes(body[in_used : in_used + 4], "big"):
+            return None
+    elif kind == "gzip":
+        if native.crc32(full) != int.from_bytes(body[in_used : in_used + 4], "little"):
+            return None
+    points = []
+    for out_off, bitpos in raw_points:
+        byte = bitpos >> 3
+        sub = bitpos & 7
+        if sub:
+            points.append(
+                AccessPoint(
+                    out_offset=int(out_off),
+                    in_offset=hdr + byte + 1,
+                    bits=8 - sub,
+                    hold=body[byte] >> sub,
+                    window=full[max(0, out_off - 32768) : out_off],
+                )
+            )
+        else:
+            points.append(
+                AccessPoint(
+                    out_offset=int(out_off),
+                    in_offset=hdr + byte,
+                    bits=0,
+                    hold=0,
+                    window=full[max(0, out_off - 32768) : out_off],
+                )
+            )
+    if not points:
+        return None
+    return DeflateIndex(points=points, total_out=len(full), wrapper_offset=hdr)
+
+
+def _extract_native(
+    data: bytes, index: DeflateIndex, offset: int, length: int
+) -> bytes | None:
+    from .. import native
+
+    if not native.available():
+        return None
+    point = index.closest(offset)
+    if point.out_offset > offset:
+        hdr, _kind = _wrapper_span(data)
+        start_in, skip_bits, window, produced = hdr, 0, b"", 0
+    else:
+        if point.bits:
+            start_in = point.in_offset - 1
+            skip_bits = 8 - point.bits
+        else:
+            start_in = point.in_offset
+            skip_bits = 0
+        window, produced = point.window, point.out_offset
+    want = (offset - produced) + length
+    try:
+        out = native.inflate_region(data[start_in:], skip_bits, window, want)
+    except ValueError:
+        return None
+    return out[offset - produced : offset - produced + length]
+
+
 def extract(data: bytes, index: DeflateIndex, offset: int, length: int) -> bytes:
     """Read `length` uncompressed bytes starting at `offset` using the index
-    (zran's extract pass: raw inflater + prime + dictionary + skip)."""
+    (zran's extract pass: raw inflater + prime + dictionary + skip),
+    through the native region decoder when available."""
     if offset >= index.total_out:
         return b""
+    fast = _extract_native(data, index, offset, length)
+    if fast is not None:
+        return fast
     point = index.closest(offset)
     if point.out_offset > offset:
         # before the first checkpoint: decode from the beginning

@@ -79,6 +79,17 @@ def _load():
             ctypes.c_char_p, u64p, u64p, u64p, u64p, ctypes.c_size_t,
             ctypes.c_void_p, ctypes.c_int,
         ]
+        lib.zrs_zran_index.restype = ctypes.c_long
+        lib.zrs_zran_index.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_uint64, u64p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.zrs_inflate_region.restype = ctypes.c_long
+        lib.zrs_inflate_region.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+        ]
         _lib = lib
         return _lib
 
@@ -156,6 +167,45 @@ def inflate_parallel(data: bytes, index, nthreads: int = 0) -> bytes:
     if rc != acc:
         raise ValueError(f"decoded {rc} bytes, expected {acc}")
     return out.raw[:acc]
+
+
+def zran_index(data: bytes, span: int, max_out: int) -> tuple[bytes, list]:
+    """Single-pass decode of a raw deflate stream recording zran access
+    points every ~`span` output bytes. Returns (full_output, points,
+    input_bytes_consumed) with points = [(out_offset, bit_position), ...]."""
+    lib = _load()
+    out = ctypes.create_string_buffer(max(max_out, 1))
+    cap_pts = max(4, max_out // max(span, 1) + 4)
+    pts = (ctypes.c_uint64 * (2 * cap_pts))()
+    npts = ctypes.c_size_t(0)
+    in_used = ctypes.c_size_t(0)
+    rc = lib.zrs_zran_index(
+        bytes(data), len(data), out, max_out, span, pts, cap_pts,
+        ctypes.byref(npts), ctypes.byref(in_used),
+    )
+    if rc == -1:
+        raise ValueError("invalid deflate data")
+    if rc == -2:
+        raise BufferError("output buffer too small")
+    if rc == -3:
+        raise ValueError("truncated deflate data")
+    points = [(pts[2 * i], pts[2 * i + 1]) for i in range(npts.value)]
+    return out.raw[:rc], points, in_used.value
+
+
+def inflate_region(
+    data: bytes, skip_bits: int, window: bytes, want: int
+) -> bytes:
+    """Resume a raw deflate stream at a zran access point and decode `want`
+    bytes. `data` starts at the byte containing the block header."""
+    lib = _load()
+    out = ctypes.create_string_buffer(len(window) + max(want, 1))
+    rc = lib.zrs_inflate_region(
+        bytes(data), len(data), skip_bits, bytes(window), len(window), out, want
+    )
+    if rc < 0:
+        raise ValueError(f"region decode failed ({rc})")
+    return out.raw[len(window) : len(window) + rc]
 
 
 def deflate_parallel(
