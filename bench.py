@@ -186,7 +186,7 @@ def bench_decode_sweep(data: bytes) -> dict:
 
 DEVICE_CHILD = r"""
 import sys, time, json, zlib
-sys.path.insert(0, %(repo)r)
+sys.path.insert(0, {REPO!r})
 import numpy as np, jax, jax.numpy as jnp
 from bench import load_corpus, CHUNK, BATCH, LEVEL
 from zlib_rs_tpu.parallel import pipeline as P
@@ -214,7 +214,7 @@ last = None
 for _ in range(K):
     words, bits, ll, dl = encode(d)
     # dependency: fold one word of the output into the next input (zeroed)
-    d = dc + (words[0, 0] % 1).astype(jnp.uint8)
+    d = dc + (words[0, 0] * 0).astype(jnp.uint8)
     last = bits
 _ = int(np.asarray(last[0]))  # 4-byte drain
 anchored = K * BATCH * CHUNK / (time.perf_counter() - t0) / 1e9
@@ -305,7 +305,9 @@ def bench_device(data: bytes) -> dict:
         _log(f"adler timing skipped: {e}")
 
     # anchored + e2e + ratio in a time-boxed subprocess (fetch-safe)
-    child = DEVICE_CHILD % {"repo": os.path.dirname(os.path.abspath(__file__))}
+    child = DEVICE_CHILD.replace(
+        "{REPO!r}", repr(os.path.dirname(os.path.abspath(__file__)))
+    )
     try:
         proc = subprocess.run(
             [sys.executable, "-c", child], capture_output=True, text=True, timeout=900

@@ -67,6 +67,22 @@ def __getattr__(name):
         from .parallel import pipeline
 
         return getattr(pipeline, name)
+    if name == "decompress_foreign":
+        from .parallel.inflate import decompress_foreign
+
+        return decompress_foreign
+    if name in ("gzdopen", "gzclose_r", "gzclose_w"):
+        from .models import gzfile
+
+        return getattr(gzfile, name)
+    if name in ("InflateBack", "inflate_back"):
+        from .models import infback
+
+        return getattr(infback, name)
+    if name in ("build_index", "extract"):
+        from .models import zran
+
+        return getattr(zran, name)
     if name == "native":
         import importlib
 
