@@ -204,22 +204,6 @@ knobs = P._level_knobs(LEVEL)
 
 # serialized chain: batch k+1's input data-depends on batch k's output, so
 # the device cannot overlap or drop work; one 4-byte drain fetch at the end
-def encode(d):
-    return P._encode_batch(d, nv, fins, chunk_size=CHUNK, dynamic=True, **knobs)
-jax.block_until_ready(encode(dc))  # warm/compile
-K = 12
-t0 = time.perf_counter()
-d = dc
-last = None
-for _ in range(K):
-    words, bits, ll, dl = encode(d)
-    # dependency: fold one word of the output into the next input (zeroed)
-    d = dc + (words[0, 0] * 0).astype(jnp.uint8)
-    last = bits
-_ = int(np.asarray(last[0]))  # 4-byte drain
-anchored = K * BATCH * CHUNK / (time.perf_counter() - t0) / 1e9
-print('ANCHORED ' + json.dumps({'anchored_gbps': anchored}), flush=True)
-
 from zlib_rs_tpu.parallel.pipeline import compress_parallel
 t0 = time.perf_counter()
 comp = compress_parallel(data, level=LEVEL, chunk_size=CHUNK)
@@ -252,6 +236,9 @@ def bench_device(data: bytes) -> dict:
 
     def run_once():
         return P._encode_batch(dc, nv, fins, chunk_size=CHUNK, dynamic=True, **knobs)
+
+    def run_once_with(d):
+        return P._encode_batch(d, nv, fins, chunk_size=CHUNK, dynamic=True, **knobs)
 
     def measure(fn, label):
         jax.block_until_ready(fn())
@@ -303,6 +290,39 @@ def bench_device(data: bytes) -> dict:
         dev.setdefault("stage_ms", {})["adler"] = round(ta * 1e3, 2)
     except Exception as e:
         _log(f"adler timing skipped: {e}")
+
+    # anchored serialized chain IN-PROCESS (program already compiled):
+    # each batch's input data-depends on the previous batch's output, so
+    # the device must execute them back-to-back; one 4-byte drain fetch at
+    # the end, watchdogged because the tunnel's fetch path can wedge.
+    import signal
+
+    def _alarm(_sig, _frm):
+        raise TimeoutError("drain fetch wedged")
+
+    try:
+        K = 12
+        t0 = time.perf_counter()
+        d = dc
+        last = None
+        for _ in range(K):
+            words, bits, _ll, _dl = run_once_with(d)
+            d = dc + (words[0, 0] * 0).astype(jnp.uint8)
+            last = bits
+        old = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(180)
+        try:
+            _ = int(np.asarray(last[0]))
+            dt = time.perf_counter() - t0
+            dev["anchored_gbps"] = round(K * BATCH * CHUNK / dt / 1e9, 4)
+            _log(f"anchored chain {dev['anchored_gbps']} GB/s over {K} batches")
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+    except TimeoutError:
+        _log("anchored drain fetch wedged; anchored_gbps omitted")
+    except Exception as e:
+        _log(f"anchored chain failed: {e}")
 
     # anchored + e2e + ratio in a time-boxed subprocess (fetch-safe)
     child = DEVICE_CHILD.replace(

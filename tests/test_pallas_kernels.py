@@ -35,3 +35,31 @@ def test_adler_kernel_rejects_bad_shapes():
         adler32_batch_pallas(
             jnp.zeros((3, 4096), jnp.uint8), jnp.zeros((3,), jnp.int32), interpret=True
         )
+
+
+import numpy as np
+import zlib as _zlib
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("tiles", [1, 2, 8])
+def test_crc_kernel_matches_zlib(tiles):
+    from zlib_rs_tpu.ops.pallas.crc_kernels import crc32_batch_auto, TILE_BYTES
+
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 256, (8, tiles * TILE_BYTES), dtype=np.uint8)
+    got = np.asarray(crc32_batch_auto(data))
+    want = np.array([_zlib.crc32(r.tobytes()) for r in data], np.uint32)
+    assert (got == want).all()
+
+
+def test_crc_kernel_in_gzip_pipeline():
+    import jax
+
+    from zlib_rs_tpu.parallel.pipeline import _crc_batch_best
+
+    rng = np.random.default_rng(8)
+    full = rng.integers(0, 256, (3, 131072), dtype=np.uint8)  # pads to 8 rows
+    got = np.asarray(_crc_batch_best(full))
+    want = np.array([_zlib.crc32(r.tobytes()) for r in full], np.uint32)
+    assert (got == want).all()

@@ -163,6 +163,82 @@ def _adler_batch(chunks, n_valid):
     return checksum.adler32_batch_jax(chunks, n_valid)
 
 
+def _crc_batch_best(full: np.ndarray):
+    """Batched crc32 of full chunk rows: the fused Pallas kernel when the
+    shapes tile onto it (row length % 16 KiB, VMEM-resident fold), else the
+    XLA GF(2)-matmul path."""
+    B, N = full.shape
+    try:
+        from ..ops.pallas import crc_kernels as CK
+
+        if N % CK.TILE_BYTES == 0:
+            pad_rows = (-B) % 8
+            padded = (
+                np.concatenate([full, np.zeros((pad_rows, N), np.uint8)])
+                if pad_rows
+                else full
+            )
+            return np.asarray(CK.crc32_batch_auto(jnp.asarray(padded)))[:B]
+    except Exception:
+        pass
+    return np.asarray(checksum.crc32_batch_jax(jnp.asarray(full)))
+
+
+def make_sharded_encode_step(
+    mesh: Mesh, *, chunk_size: int, dict_size: int = 0, dynamic: bool = True, **knobs
+):
+    """The multi-host encode step as an explicit shard_map program.
+
+    Each device encodes its shard of the chunk batch locally, then the
+    collectives run over ICI (SURVEY.md §2e's 'distributed communication
+    backend' realized as jax collectives, not a port):
+
+      * `all_gather` of per-chunk bit sizes + a prefix sum gives every
+        device the global output byte offsets (the ordered-gather size
+        exchange);
+      * `all_gather` of the packed payload words materializes the ordered
+        batch on every device, so the host fetches ONE array from ONE
+        device instead of gathering per-device pieces over DCN.
+
+    Returns a jitted fn(chunks, n_valid, finals, valid_from) ->
+    (words[B,W], bits[B], offsets[B], ll_lens, d_lens) with the first three
+    fully replicated.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    def local(chunks, n_valid, finals, valid_from):
+        if dynamic:
+            def one(chunk, nv, vf):
+                return dynhuff.encode_chunk_dynamic(
+                    chunk, nv, start=dict_size, valid_from=vf, **knobs
+                )
+
+            words, bits, ll, dl = jax.vmap(one)(chunks, n_valid, valid_from)
+        else:
+            def one_s(chunk, nv, fin, vf):
+                return lz77.encode_chunk_static(
+                    chunk, nv, fin, start=dict_size, valid_from=vf, **knobs
+                )
+
+            words, bits = jax.vmap(one_s)(chunks, n_valid, finals, valid_from)
+            ll = dl = jnp.zeros((chunks.shape[0], 1), jnp.int32)
+        # ICI: sizes first (tiny), then the payload gather
+        all_bits = jax.lax.all_gather(bits, "chunks", tiled=True)
+        nbytes = (all_bits + 7) // 8
+        offsets = jnp.cumsum(nbytes) - nbytes
+        all_words = jax.lax.all_gather(words, "chunks", tiled=True)
+        return all_words, all_bits, offsets, ll, dl
+
+    mapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("chunks", None), P("chunks"), P("chunks"), P("chunks")),
+        out_specs=(P(None, None), P(None), P(None), P("chunks", None), P("chunks", None)),
+        check_rep=False,
+    )
+    return jax.jit(mapped)
+
+
 def _shard_inputs(mesh, chunks, n_valid, finals, valid_from):
     """Lay the batch out over the mesh: chunks sharded on the batch axis; no
     cross-chunk communication exists until the host gather (ICI/DCN only
@@ -374,7 +450,7 @@ def compress_parallel(
             full = np.frombuffer(data[: nfull * chunk_size], np.uint8).reshape(
                 nfull, chunk_size
             )
-            crcs = np.asarray(checksum.crc32_batch_jax(jnp.asarray(full)))
+            crcs = np.asarray(_crc_batch_best(full))
             for k in range(nfull):
                 crc = checksum.crc32_combine(crc, int(crcs[k]), chunk_size)
         tail = data[nfull * chunk_size :]
