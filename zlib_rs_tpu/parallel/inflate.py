@@ -16,11 +16,13 @@ reference's inflate_fast hot loop (zlib-rs/src/inflate.rs:1885-2163):
     source index until it lands on a literal;
   * checksums of the assembled output verify on device (ops/checksum.py).
 
-Works on streams produced by compress_parallel (each chunk = blocks starting
-byte-aligned at a seam) given the chunk index, and on multi-member gzip
-archives (members are natural chunks). Monolithic foreign streams fall back
-to the host engines (rapidgzip-style speculation is future work; see
-PAPERS.md).
+Round 2: decode routes through parallel/device_inflate.py — the full
+block-level state machine on device — so regions may hold any number of
+stored/fixed/dynamic blocks. Works on compress_parallel streams via the
+chunk index, on multi-member gzip archives (members split by fast native
+skims), and on MONOLITHIC foreign zlib/raw streams via a native zran index
+pass + window-primed parallel regions (`decompress_foreign`): the
+rapidgzip recipe with an exact index instead of speculation (PAPERS.md).
 """
 
 from __future__ import annotations

@@ -163,6 +163,22 @@ def _adler_batch(chunks, n_valid):
     return checksum.adler32_batch_jax(chunks, n_valid)
 
 
+def _adler_batch_best(chunks_slice, lens):
+    """Batched adler32: the fused Pallas kernel on TPU when the shapes tile
+    (rows % 4 KiB, batch % 8), else the XLA reduction. The measured XLA
+    adler dispatch costs more than the whole encode batch (BENCH stage_ms),
+    so the VMEM-resident kernel is the production path on chip."""
+    B, N = chunks_slice.shape
+    if jax.devices()[0].platform == "tpu" and N % 4096 == 0 and B % 8 == 0:
+        try:
+            from ..ops.pallas import checksum_kernels as PK
+
+            return PK.adler32_batch_pallas(chunks_slice, lens)
+        except Exception:
+            pass
+    return _adler_batch(chunks_slice, lens)
+
+
 def _crc_batch_best(full: np.ndarray):
     """Batched crc32 of full chunk rows: the fused Pallas kernel when the
     shapes tile onto it (row length % 16 KiB, VMEM-resident fold), else the
@@ -387,7 +403,7 @@ def compress_parallel(
             dc, dn, df, dv,
             chunk_size=chunk_size, dynamic=dynamic, dict_size=dict_size, **knobs
         )
-        adlers = _adler_batch(
+        adlers = _adler_batch_best(
             dc[:, dict_size : dict_size + chunk_size], dn - dict_size
         )
         parts_words.append(words)
