@@ -178,3 +178,58 @@ def test_fixed_tables_builtin():
         H.FIXED_LITLEN_TABLE, H.FIXED_LITLEN_ROOT, bits + "000000"
     )
     assert (kind, payload, consumed) == (H.KIND_LITERAL, 65, 8)
+
+
+class TestDeviceTreeQuality:
+    """Round 2: the device Kraft builder must stay exactly tight on
+    adversarial frequency shapes AND within 1% of optimal body bits (it
+    was ~5.4% off before the bulk density-greedy repair)."""
+
+    def test_adversarial_tightness_fuzz(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from zlib_rs_tpu.ops import dynhuff
+
+        ONE = 1 << 15
+        rng = np.random.default_rng(0)
+        for trial in range(120):
+            n = int(rng.choice([19, 30, 286]))
+            kind = trial % 4
+            if kind == 0:
+                f = rng.integers(0, 5, n)
+            elif kind == 1:
+                f = rng.zipf(1.5, n).clip(0, 1 << 30)
+            elif kind == 2:
+                f = (rng.random(n) < 0.1) * rng.integers(1, 1 << 20, n)
+            else:
+                f = np.zeros(n, int)
+                f[rng.integers(0, n)] = rng.integers(1, 100)
+            lens = np.asarray(dynhuff.code_lengths_kraft(jnp.asarray(f.astype(np.int32))))
+            used = f > 0
+            if used.sum() == 0:
+                assert (lens == 0).all()
+                continue
+            kraft = int(np.where(used, 1 << (15 - np.clip(lens, 1, 15)), 0).sum())
+            if used.sum() == 1:
+                assert (lens[used] == 1).all()
+            else:
+                assert kraft == ONE, (trial, kraft)
+            assert (lens[used] >= 1).all() and (lens <= 15).all()
+
+    def test_within_one_percent_of_optimal(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from zlib_rs_tpu.ops import dynhuff
+        from zlib_rs_tpu.ops import huffman as H
+
+        td = "/root/reference/test-libz-rs-sys/src/test-data/"
+        for blob in (
+            open(td + "lcet10.txt", "rb").read()[:131072],
+            open("/bin/bash", "rb").read()[:131072],
+        ):
+            f = np.bincount(np.frombuffer(blob, np.uint8), minlength=286).astype(np.int64)
+            opt = int((f * H.huffman_code_lengths(f, 15)).sum())
+            got = int((f * np.asarray(dynhuff.code_lengths_kraft(jnp.asarray(f.astype(np.int32))))).sum())
+            assert got <= opt * 1.01, (got, opt)

@@ -41,7 +41,7 @@ MAX_MATCH = 258
 MIN_MATCH = 3
 MAX_DIST = 32768
 HASH_MULT = np.uint32(2654435761)
-HASH_BITS = 16
+HASH_BITS = 20
 PAD = 272  # tail padding so word reads past n_valid stay in bounds
 
 # -- static-tree encode tables as device constants ---------------------------

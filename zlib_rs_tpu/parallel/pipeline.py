@@ -108,9 +108,9 @@ def _level_knobs(level: int) -> dict:
     if level <= 3:
         return dict(chain_depth=2, max_words=16, lazy=False)
     if level <= 6:
-        return dict(chain_depth=4, max_words=32, lazy=True)
-    if level <= 8:
         return dict(chain_depth=8, max_words=32, lazy=True)
+    if level <= 8:
+        return dict(chain_depth=12, max_words=32, lazy=True)
     return dict(chain_depth=16, max_words=64, lazy=True)
 
 
