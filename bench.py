@@ -379,6 +379,62 @@ def bench_device(data: bytes) -> dict:
     except Exception as e:
         _log(f"anchored chain failed: {e}")
 
+    # device DECODE: regions (native-compressed chunk bodies) decoded by the
+    # full on-device block state machine; timed by the same chain-scaling
+    # slope (no fetches)
+    try:
+        from zlib_rs_tpu import native as NV
+        from zlib_rs_tpu.parallel import device_inflate as DI
+
+        n_chunks_d = BATCH
+        bodies = []
+        for k in range(n_chunks_d):
+            seg = data[k * CHUNK : (k + 1) * CHUNK]
+            bodies.append(NV.deflate_chunk(seg, level=LEVEL, final=(k == n_chunks_d - 1)))
+        Ld = max(len(b) for b in bodies) + 8
+        compd = np.zeros((n_chunks_d, Ld), np.uint8)
+        for k, b in enumerate(bodies):
+            compd[k, : len(b)] = np.frombuffer(b, np.uint8)
+        cj = jnp.asarray(compd)
+        sbd = jnp.zeros(n_chunks_d, jnp.int32)
+        ebd = jnp.asarray(np.array([len(b) * 8 for b in bodies], np.int32))
+        tgt = jnp.asarray(np.full(n_chunks_d, CHUNK, np.int32))
+        max_steps = CHUNK + 2 + 512 * max(1, Ld // 4096)
+
+        def dec_once(c):
+            return DI.decode_regions(c, sbd, ebd, tgt, max_steps=max_steps, max_out=CHUNK)
+
+        jax.block_until_ready(dec_once(cj))
+        _log("device decode compiled")
+        ksd = [1, 4, 8]
+        tsd = []
+        for K in ksd:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                c = cj
+                out = None
+                for _ in range(K):
+                    tk, ta, tb, _i, _p, _bad = dec_once(c)
+                    c = cj + (tk[0, 0] * 0).astype(jnp.uint8)
+                    out = tk
+                jax.block_until_ready(out)
+                best = min(best, time.perf_counter() - t0)
+            tsd.append(best)
+        kda = np.array(ksd, float)
+        tda = np.array(tsd, float)
+        dslope, _ = np.polyfit(kda, tda, 1)
+        if dslope > 0:
+            dev["decode_chain_slope_gbps"] = round(
+                n_chunks_d * CHUNK / dslope / 1e9, 4
+            )
+            _log(
+                f"device decode chain slope {dev['decode_chain_slope_gbps']} GB/s "
+                f"(times {['%.4f' % t for t in tsd]})"
+            )
+    except Exception as e:
+        _log(f"device decode bench skipped: {e}")
+
     # the pipeline's output bytes are backend-independent: measure the
     # level-6 ratio in a CPU-pinned subprocess (immune to tunnel wedges)
     try:

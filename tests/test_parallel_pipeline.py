@@ -112,3 +112,36 @@ def test_priming_off_for_single_chunk():
     a = compress_parallel(data, level=6, chunk_size=65536, prime_dict=True)
     b = compress_parallel(data, level=6, chunk_size=65536, prime_dict=False)
     assert a == b  # no previous chunk to prime from
+
+
+def test_sharded_encode_step_collectives():
+    """The shard_map encode step's ICI collectives: replicated payloads,
+    size all_gather, exclusive prefix-sum offsets (round 2, SURVEY §2e)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from zlib_rs_tpu.ops import lz77
+    from zlib_rs_tpu.parallel.pipeline import make_sharded_encode_step
+
+    nd = min(8, len(jax.devices()))
+    mesh = Mesh(np.array(jax.devices()[:nd]), ("chunks",))
+    chunk = 2048
+    rng = np.random.default_rng(1)
+    raw = np.zeros((nd, chunk + lz77.PAD), np.uint8)
+    raw[:, :chunk] = rng.integers(0, 64, (nd, chunk), dtype=np.uint8)
+    step = make_sharded_encode_step(
+        mesh, chunk_size=chunk, dynamic=True, chain_depth=2, max_words=8
+    )
+    sh = NamedSharding(mesh, P("chunks"))
+    out = step(
+        jax.device_put(raw, NamedSharding(mesh, P("chunks", None))),
+        jax.device_put(np.full(nd, chunk, np.int32), sh),
+        jax.device_put(np.zeros(nd, np.int32), sh),
+        jax.device_put(np.zeros(nd, np.int32), sh),
+    )
+    words, bits, offsets = np.asarray(out[0]), np.asarray(out[1]), np.asarray(out[2])
+    assert words.shape[0] == nd and bits.shape == (nd,)
+    nbytes = (bits + 7) // 8
+    assert (offsets == np.cumsum(nbytes) - nbytes).all()
+    assert (bits > 0).all()
