@@ -21,6 +21,10 @@
 #include <thread>
 #include <algorithm>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -160,28 +164,51 @@ const StaticTrees STATIC_TREES;
 // bit writer
 // ---------------------------------------------------------------------------
 
+// 64-bit bit accumulator over a resize-ahead byte sink: a put never touches
+// vector bookkeeping on the hot path (one capacity check + an 8-byte memcpy
+// when the accumulator fills). Callers must call finish() to trim the vector
+// to the committed length.
 struct BitWriter {
   std::vector<uint8_t>& out;
   uint64_t buf = 0;
-  int cnt = 0;
+  int cnt = 0;      // bits held in buf; invariant cnt < 64
+  size_t wpos = 0;  // bytes committed to out
   explicit BitWriter(std::vector<uint8_t>& o) : out(o) {}
-  inline void put(uint32_t v, int nbits) {
-    buf |= (uint64_t)(v & ((1u << nbits) - 1)) << cnt;
-    cnt += nbits;
-    if (cnt >= 32) {  // drain 4 bytes at once (single put is <= 16 bits)
-      size_t o = out.size();
-      out.resize(o + 4);
-      uint32_t w = (uint32_t)buf;
-      std::memcpy(out.data() + o, &w, 4);
-      buf >>= 32;
-      cnt -= 32;
+  inline void grow(size_t need) {
+    if (wpos + need > out.size())
+      out.resize(std::max(out.size() * 2, wpos + need + 4096));
+  }
+  // v must already be masked to n bits; n <= 56
+  inline void put64(uint64_t v, int n) {
+    if (cnt + n < 64) {
+      buf |= v << cnt;
+      cnt += n;
+    } else {  // cnt >= 64-n >= 8, so the shift below is defined
+      buf |= v << cnt;
+      grow(8);
+      std::memcpy(out.data() + wpos, &buf, 8);
+      wpos += 8;
+      buf = v >> (64 - cnt);
+      cnt = cnt + n - 64;
     }
   }
+  inline void put(uint32_t v, int nbits) {
+    put64(v & ((1u << nbits) - 1), nbits);
+  }
   void align() {
-    while (cnt > 0) { out.push_back((uint8_t)buf); buf >>= 8; cnt -= 8; }
+    grow(8);
+    while (cnt > 0) { out[wpos++] = (uint8_t)buf; buf >>= 8; cnt -= 8; }
     buf = 0;
     cnt = 0;
   }
+  // byte-level appends; only valid while bit-aligned
+  inline void byte(uint8_t b) { grow(1); out[wpos++] = b; }
+  inline void bytes(const uint8_t* p, size_t n) {
+    grow(n);
+    std::memcpy(out.data() + wpos, p, n);
+    wpos += n;
+  }
+  void finish() { out.resize(wpos); }
 };
 
 // ---------------------------------------------------------------------------
@@ -216,8 +243,25 @@ inline uint32_t hash3(const uint8_t* p) {
           (uint32_t)p[2]) & (uint32_t)(HASH_SIZE_N - 1);
 }
 
+inline uint16_t load16(const uint8_t* p) {
+  uint16_t v;
+  std::memcpy(&v, p, 2);
+  return v;
+}
+
 inline int match_len_fast(const uint8_t* a, const uint8_t* b, int maxl) {
   int l = 0;
+#if defined(__AVX2__)
+  // 32-byte compare256 lanes (the reference's SIMD compare256 role,
+  // compare256.rs:113+) — first-mismatch via inverted movemask
+  while (l + 32 <= maxl) {
+    __m256i x = _mm256_loadu_si256((const __m256i*)(a + l));
+    __m256i y = _mm256_loadu_si256((const __m256i*)(b + l));
+    uint32_t m = ~(uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(x, y));
+    if (m) return l + (int)__builtin_ctz(m);
+    l += 32;
+  }
+#endif
   while (l + 8 <= maxl) {
     uint64_t x, y;
     std::memcpy(&x, a + l, 8);
@@ -239,12 +283,16 @@ struct TreeBuild {
   int build(const uint32_t* freq_in, int elems, const uint8_t* stree_len,
             const int* extra, int extra_base, int max_length,
             uint8_t* lens, uint16_t* codes) {
-    const int nnodes = 2 * elems + 1;
-    std::vector<uint64_t> f(nnodes, 0);
-    std::vector<int> length(nnodes, 0), dad(nnodes, 0), depth(nnodes, 0);
+    const int nnodes = 2 * elems + 1;  // <= 573
+    uint64_t f[2 * L_CODES_N + 1];
+    int length[2 * L_CODES_N + 1], dad[2 * L_CODES_N + 1], depth[2 * L_CODES_N + 1];
+    std::memset(f, 0, nnodes * sizeof(uint64_t));
+    std::memset(length, 0, nnodes * sizeof(int));
+    std::memset(dad, 0, nnodes * sizeof(int));
+    std::memset(depth, 0, nnodes * sizeof(int));
     for (int i = 0; i < elems; i++) f[i] = freq_in[i];
 
-    std::vector<int> heap(HEAP_SIZE_N + 1, 0);
+    int heap[HEAP_SIZE_N + 1] = {0};
     int heap_len = 0, heap_max = HEAP_SIZE_N;
     int max_code = -1;
     for (int i = 0; i < elems; i++) {
@@ -416,8 +464,16 @@ struct ChunkDeflater {
   const uint8_t* base;   // window position 0 (dict start when priming)
   size_t dict_len, n;    // input is base[dict_len .. dict_len+n)
   int level;
-  std::vector<int32_t> head, prev;
-  std::vector<Sym> syms;
+  std::vector<int32_t> head;
+  // Chain table stores 16-bit DELTAS to the previous occurrence (zlib keeps
+  // 16-bit absolute positions + window sliding; deltas avoid the slide while
+  // halving the hot array to 64 KiB). delta==0 means empty. Any step of
+  // >= 32768 positions necessarily lands at or below the longest_match
+  // limit (pos - MAX_DIST_N), so capping at 0xffff cannot create or drop a
+  // reachable candidate — the walk is decision-identical to absolute links.
+  std::vector<uint16_t> prevd;
+  std::vector<Sym> syms;  // preallocated LIT_BUFSIZE_N slots, ns in use
+  size_t ns = 0;
   std::vector<uint8_t>& out;
   BitWriter bw;
   size_t block_start;    // absolute offset of current block start
@@ -432,7 +488,8 @@ struct ChunkDeflater {
   ChunkDeflater(const uint8_t* dict, size_t dlen, const uint8_t* in, size_t len,
                 int lvl, std::vector<uint8_t>& o)
       : base(nullptr), dict_len(dlen), n(len), level(lvl),
-        head(HASH_SIZE_N, 0), prev(WSIZE, 0), out(o), bw(o) {
+        head(HASH_SIZE_N, 0), prevd(WSIZE, 0), syms(LIT_BUFSIZE_N), out(o),
+        bw(o) {
     // contiguity: caller guarantees dict immediately precedes in when both set
     base = in - dlen;
     (void)dict;
@@ -440,11 +497,18 @@ struct ChunkDeflater {
   }
 
   // NIL == position 0: base[0] plays zlib's window offset 0 and is never a
-  // match candidate (head/prev value 0 means "empty chain")
+  // match candidate (head value 0 / delta to 0 means "empty chain")
   inline void insert(size_t pos) {
     uint32_t h = hash3(base + pos);
-    prev[pos & (WSIZE - 1)] = head[h];
+    long d = (long)pos - head[h];  // head[h]==0 -> delta==pos -> walks to NIL
+    prevd[pos & (WSIZE - 1)] = (uint16_t)std::min<long>(d, 0xffff);
     head[h] = (int32_t)pos;
+  }
+
+  // absolute previous-occurrence position for `pos` (0 when none/too far)
+  inline long chain_prev(size_t pos) const {
+    long d = prevd[pos & (WSIZE - 1)];
+    return d ? (long)pos - d : 0;
   }
 
   // common-prefix length vs the zero-extended buffer (zlib's high_water
@@ -479,24 +543,51 @@ struct ChunkDeflater {
     best_dist = 0;
     if (pos + MAX_MATCH <= total) {
       const uint8_t* here = base + pos;
-      uint8_t end0 = here[best_len], end1 = here[best_len - 1];
-      uint8_t h0 = here[0], h1 = here[1];
-      for (;;) {
-        const uint8_t* cand = base + cur;
-        if (cand[best_len] == end0 && cand[best_len - 1] == end1 &&
-            cand[0] == h0 && cand[1] == h1) {
-          int ml = match_len_fast(here, cand, MAX_MATCH);
-          if (ml > best_len) {
-            best_len = ml;
-            best_dist = (int)((long)pos - cur);
-            if (ml >= nice) break;
-            end0 = here[best_len];
-            end1 = here[best_len - 1];
+      uint16_t scan_end = load16(here + best_len - 1);
+      uint16_t scan_start = load16(here);
+      // Prefetching the next chain slot hides the serial L2-latency walk at
+      // short/medium budgets; at level 9's 4096-deep walks the chain slots
+      // are mostly cache-resident already and the extra uop traffic loses
+      // (measured), so gate on the budget.
+      if (cfg.chain <= 1024) {
+        for (;;) {
+          const uint8_t* cand = base + cur;
+          long next_cur = (long)cur - prevd[cur & (WSIZE - 1)];
+          __builtin_prefetch(&prevd[next_cur & (WSIZE - 1)]);
+          if (load16(cand + best_len - 1) == scan_end &&
+              load16(cand) == scan_start) {
+            int ml = match_len_fast(here, cand, MAX_MATCH);
+            if (ml > best_len) {
+              best_len = ml;
+              best_dist = (int)((long)pos - cur);
+              if (ml >= nice) break;
+              scan_end = load16(here + best_len - 1);
+            }
           }
+          if (next_cur >= cur) break;  // empty link (delta 0)
+          cur = next_cur;
+          if (cur <= limit) break;
+          if (--chain == 0) break;
         }
-        cur = prev[cur & (WSIZE - 1)];
-        if (cur <= limit) break;
-        if (--chain == 0) break;
+      } else {
+        for (;;) {
+          const uint8_t* cand = base + cur;
+          long next_cur = (long)cur - prevd[cur & (WSIZE - 1)];
+          if (load16(cand + best_len - 1) == scan_end &&
+              load16(cand) == scan_start) {
+            int ml = match_len_fast(here, cand, MAX_MATCH);
+            if (ml > best_len) {
+              best_len = ml;
+              best_dist = (int)((long)pos - cur);
+              if (ml >= nice) break;
+              scan_end = load16(here + best_len - 1);
+            }
+          }
+          if (next_cur >= cur) break;  // empty link (delta 0)
+          cur = next_cur;
+          if (cur <= limit) break;
+          if (--chain == 0) break;
+        }
       }
     } else {
       for (;;) {
@@ -506,8 +597,9 @@ struct ChunkDeflater {
           best_dist = (int)((long)pos - cur);
           if (ml >= nice) break;
         }
-        cur = prev[cur & (WSIZE - 1)];
-        if (cur <= limit) break;
+        long next_cur = chain_prev((size_t)cur);
+        if (next_cur <= limit || next_cur >= cur) break;
+        cur = (int)next_cur;
         if (--chain == 0) break;
       }
     }
@@ -524,28 +616,42 @@ struct ChunkDeflater {
       bw.put(fin ? 1 : 0, 1);
       bw.put(0, 2);
       bw.align();
-      out.push_back(take & 0xff); out.push_back((take >> 8) & 0xff);
-      out.push_back(~take & 0xff); out.push_back((~take >> 8) & 0xff);
-      out.insert(out.end(), p + i, p + i + take);
+      bw.byte(take & 0xff); bw.byte((take >> 8) & 0xff);
+      bw.byte(~take & 0xff); bw.byte((~take >> 8) & 0xff);
+      bw.bytes(p + i, take);
       i += take;
     } while (i < len);
   }
 
   void emit_symbols(const uint16_t* llc, const uint8_t* lll,
                     const uint16_t* dc, const uint8_t* dl) {
-    for (const Sym& s : syms) {
-      if (s.dist == 0) {
-        bw.put(llc[s.lenlit], lll[s.lenlit]);
+    // per-block fused length table: code + extra bits in one value so each
+    // match costs exactly one put64 (the reference's encode_len/encode_dist
+    // fusion idea, deflate.rs:915-938)
+    uint32_t ltab[256];
+    uint8_t ltn[256];
+    for (int v = 0; v < 256; v++) {
+      int lc = RFC.len_code[v];
+      int sym = 257 + lc;
+      ltab[v] = (uint32_t)llc[sym] |
+                ((uint32_t)(v + 3 - RFC.len_base[lc]) << lll[sym]);
+      ltn[v] = (uint8_t)(lll[sym] + RFC.len_extra[lc]);
+    }
+    const Sym* s = syms.data();
+    const Sym* e = s + ns;
+    for (; s != e; ++s) {
+      if (s->dist == 0) {
+        bw.put64(llc[s->lenlit], lll[s->lenlit]);
       } else {
-        int lc = RFC.len_code[s.lenlit - 3];
-        bw.put(llc[257 + lc], lll[257 + lc]);
-        if (RFC.len_extra[lc]) bw.put(s.lenlit - RFC.len_base[lc], RFC.len_extra[lc]);
-        int c = dist_to_code(s.dist);
-        bw.put(dc[c], dl[c]);
-        if (RFC.dist_extra[c]) bw.put(s.dist - RFC.dist_base[c], RFC.dist_extra[c]);
+        int v = s->lenlit - 3;
+        int c = dist_to_code(s->dist);
+        uint64_t dfused = (uint64_t)dc[c] |
+                          ((uint64_t)(s->dist - RFC.dist_base[c]) << dl[c]);
+        int dn = dl[c] + RFC.dist_extra[c];
+        bw.put64((uint64_t)ltab[v] | (dfused << ltn[v]), ltn[v] + dn);
       }
     }
-    bw.put(llc[256], lll[256]);  // EOB
+    bw.put64(llc[256], lll[256]);  // EOB
   }
 
   // zlib's _tr_flush_block: exact trees, whole-byte cost rule
@@ -559,7 +665,8 @@ struct ChunkDeflater {
     if (level > 0) {
       uint32_t llf[L_CODES_N] = {0}, df[D_CODES_N] = {0};
       llf[256] = 1;
-      for (const Sym& s : syms) {
+      for (size_t i = 0; i < ns; i++) {
+        const Sym& s = syms[i];
         if (s.dist == 0) llf[s.lenlit]++;
         else { llf[257 + RFC.len_code[s.lenlit - 3]]++; df[dist_to_code(s.dist)]++; }
       }
@@ -597,7 +704,7 @@ struct ChunkDeflater {
       send_tree_n(bw, dl, d_max, bll, blc);
       emit_symbols(llc, lll, dc, dl);
     }
-    syms.clear();
+    ns = 0;
     block_start = block_end;
   }
 
@@ -612,13 +719,13 @@ struct ChunkDeflater {
       int hash_head = 0;
       if (pos + MIN_MATCH <= total) {
         insert(pos);
-        hash_head = prev[pos & (WSIZE - 1)];
+        hash_head = (int)chain_prev(pos);
       }
       int ml = 0, mdist = 0;
       if (hash_head > 0 && (long)pos - hash_head <= MAX_DIST_N)
         ml = longest(pos, total, hash_head, MIN_MATCH - 1, mdist);
       if (ml >= MIN_MATCH && mdist > 0) {
-        syms.push_back({(uint16_t)mdist, (uint16_t)ml});
+        syms[ns++] = {(uint16_t)mdist, (uint16_t)ml};
         size_t end = pos + (size_t)ml;
         if ((size_t)ml <= (size_t)cfg.lazy && total - end >= MIN_MATCH) {
           for (size_t p2 = pos + 1; p2 < end; p2++) insert(p2);
@@ -626,10 +733,10 @@ struct ChunkDeflater {
         // a match longer than max_insert_length skips insertion entirely
         pos = end;
       } else {
-        syms.push_back({0, base[pos]});
+        syms[ns++] = {0, base[pos]};
         pos++;
       }
-      if (syms.size() >= SYM_END_N) flush_block(false, pos);
+      if (ns >= SYM_END_N) flush_block(false, pos);
     }
   }
 
@@ -642,7 +749,7 @@ struct ChunkDeflater {
       int hash_head = 0;
       if (pos + MIN_MATCH <= total) {
         insert(pos);
-        hash_head = prev[pos & (WSIZE - 1)];
+        hash_head = (int)chain_prev(pos);
       }
       prev_length = match_length;
       prev_start = match_start;
@@ -661,17 +768,17 @@ struct ChunkDeflater {
         // deferred match at pos-1 wins; insert covered positions
         // pos+1 .. pos+prev_length-2 (the next current position is
         // inserted at its own scan step)
-        syms.push_back({(uint16_t)(pos - 1 - prev_start), (uint16_t)prev_length});
+        syms[ns++] = {(uint16_t)(pos - 1 - prev_start), (uint16_t)prev_length};
         size_t end_ins = pos + (size_t)prev_length - 1;  // exclusive
         for (size_t p2 = pos + 1; p2 < end_ins; p2++)
           if (p2 + MIN_MATCH <= total) insert(p2);
         pos = pos + prev_length - 1;
         match_available = false;
         match_length = MIN_MATCH - 1;
-        if (syms.size() >= SYM_END_N) flush_block(false, pos);
+        if (ns >= SYM_END_N) flush_block(false, pos);
       } else if (match_available) {
-        syms.push_back({0, base[pos - 1]});
-        if (syms.size() >= SYM_END_N) flush_block(false, pos);
+        syms[ns++] = {0, base[pos - 1]};
+        if (ns >= SYM_END_N) flush_block(false, pos);
         pos++;
       } else {
         match_available = true;
@@ -679,7 +786,7 @@ struct ChunkDeflater {
       }
     }
     if (match_available) {
-      syms.push_back({0, base[total - 1]});
+      syms[ns++] = {0, base[total - 1]};
       match_available = false;
     }
   }
@@ -705,9 +812,9 @@ struct ChunkDeflater {
       block_start = total;
       if (!final_flag) {
         bw.put(0, 1); bw.put(0, 2); bw.align();
-        out.push_back(0x00); out.push_back(0x00);
-        out.push_back(0xff); out.push_back(0xff);
+        bw.byte(0x00); bw.byte(0x00); bw.byte(0xff); bw.byte(0xff);
       }
+      bw.finish();
       return;
     }
 
@@ -718,12 +825,12 @@ struct ChunkDeflater {
       flush_block(true, total);
       bw.align();
     } else {
-      if (!syms.empty() || block_start < total) flush_block(false, total);
+      if (ns != 0 || block_start < total) flush_block(false, total);
       // sync seam: byte-align with an empty stored block
       bw.put(0, 1); bw.put(0, 2); bw.align();
-      out.push_back(0x00); out.push_back(0x00);
-      out.push_back(0xff); out.push_back(0xff);
+      bw.byte(0x00); bw.byte(0x00); bw.byte(0xff); bw.byte(0xff);
     }
+    bw.finish();
   }
 };
 

@@ -41,8 +41,6 @@ def _try_native_compress(data: bytes, level: int, window_bits: int):
         raw = native.deflate_chunk(data, level=level, final=True)
     except Exception:
         return None
-    from ..ops import checksum
-
     if window_bits == -15:
         return raw
     if window_bits == 15:
@@ -50,12 +48,12 @@ def _try_native_compress(data: bytes, level: int, window_bits: int):
         cmf = 0x78
         flg = flevel << 6
         flg |= (31 - (cmf * 256 + flg) % 31) % 31
-        return bytes([cmf, flg]) + raw + checksum.adler32(data).to_bytes(4, "big")
+        return bytes([cmf, flg]) + raw + native.adler32(data).to_bytes(4, "big")
     # XFL rule must match the host engine's _emit_header (deflate.py):
     # 2 = max compression (level 9), 4 = fastest (level < 2)
     xfl = 2 if level == 9 else (4 if level < 2 else 0)
     hdr = bytes([0x1F, 0x8B, 8, 0, 0, 0, 0, 0, xfl, 3])
-    tail = checksum.crc32(data).to_bytes(4, "little") + (
+    tail = native.crc32(data).to_bytes(4, "little") + (
         len(data) & 0xFFFFFFFF
     ).to_bytes(4, "little")
     return hdr + raw + tail
@@ -107,7 +105,6 @@ def _try_native_decompress(data: bytes, window_bits: int):
 
         if not native.available():
             return None
-        from ..ops import checksum
 
         def grow(payload):
             cap = max(1 << 16, len(payload) * 4)
@@ -134,7 +131,7 @@ def _try_native_decompress(data: bytes, window_bits: int):
             out, used = grow(data[i:])
             if len(data) < i + used + 8:  # truncated trailer
                 return None
-            if checksum.crc32(out) != int.from_bytes(data[i + used : i + used + 4], "little"):
+            if native.crc32(out) != int.from_bytes(data[i + used : i + used + 4], "little"):
                 return None
             if int.from_bytes(data[i + used + 4 : i + used + 8], "little") != (
                 len(out) & 0xFFFFFFFF
@@ -150,7 +147,7 @@ def _try_native_decompress(data: bytes, window_bits: int):
             and not (data[1] & 0x20)  # FDICT needs the host NeedDict path
         ):
             out, used = grow(data[2:])
-            if checksum.adler32(out) != int.from_bytes(data[2 + used : 6 + used], "big"):
+            if native.adler32(out) != int.from_bytes(data[2 + used : 6 + used], "big"):
                 return None
             return out
         return None

@@ -16,6 +16,16 @@ import os
 import subprocess
 import threading
 
+import numpy as _np
+
+
+def _outbuf(cap: int):
+    """Uninitialized output buffer + its ctypes pointer (create_string_buffer
+    memsets the whole capacity and .raw copies it back — both wasted work on
+    multi-MB one-shot calls)."""
+    arr = _np.empty(max(cap, 1), _np.uint8)
+    return arr, arr.ctypes.data_as(ctypes.c_void_p)
+
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC = os.path.join(_REPO_ROOT, "native", "zrs_native.cpp")
 _SO = os.path.join(_REPO_ROOT, "native", "libzrs_native.so")
@@ -113,7 +123,7 @@ def deflate_chunk(
     not final), BFINAL set when final."""
     lib = _load()
     cap = len(data) + len(data) // 250 + 4096
-    out = ctypes.create_string_buffer(cap)
+    arr, out = _outbuf(cap)
     d = bytes(dictionary) if dictionary else None
     rc = lib.zrs_deflate_chunk(
         d, len(d) if d else 0, bytes(data), len(data), level, 1 if final else 0,
@@ -121,7 +131,7 @@ def deflate_chunk(
     )
     if rc < 0:
         raise RuntimeError("native deflate buffer overflow")
-    return out.raw[:rc]
+    return arr[:rc].tobytes()
 
 
 def inflate_raw(data: bytes, max_out: int) -> tuple[bytes, int]:
@@ -130,7 +140,7 @@ def inflate_raw(data: bytes, max_out: int) -> tuple[bytes, int]:
     Raises ValueError on corrupt data, BufferError if max_out is too small.
     """
     lib = _load()
-    out = ctypes.create_string_buffer(max_out if max_out > 0 else 1)
+    arr, out = _outbuf(max_out)
     used = ctypes.c_size_t(0)
     rc = lib.zrs_inflate_raw(bytes(data), len(data), out, max_out, ctypes.byref(used))
     if rc == -1:
@@ -139,7 +149,7 @@ def inflate_raw(data: bytes, max_out: int) -> tuple[bytes, int]:
         raise BufferError("output buffer too small")
     if rc == -3:
         raise ValueError("truncated deflate data")
-    return out.raw[:rc], used.value
+    return arr[:rc].tobytes(), used.value
 
 
 def inflate_parallel(data: bytes, index, nthreads: int = 0) -> bytes:
@@ -158,7 +168,7 @@ def inflate_parallel(data: bytes, index, nthreads: int = 0) -> bytes:
         acc += sizes[k]
     out_offs = (ctypes.c_uint64 * n)(*out_offs_list)
     out_sizes = (ctypes.c_uint64 * n)(*sizes)
-    out = ctypes.create_string_buffer(max(acc, 1))
+    arr, out = _outbuf(acc)
     rc = lib.zrs_inflate_parallel(
         bytes(data), offs, lens, out_offs, out_sizes, n, out, nthreads
     )
@@ -166,7 +176,7 @@ def inflate_parallel(data: bytes, index, nthreads: int = 0) -> bytes:
         raise ValueError(f"chunk {-rc - 1} failed to decode")
     if rc != acc:
         raise ValueError(f"decoded {rc} bytes, expected {acc}")
-    return out.raw[:acc]
+    return arr[:acc].tobytes()
 
 
 def zran_index(data: bytes, span: int, max_out: int) -> tuple[bytes, list]:
@@ -174,7 +184,7 @@ def zran_index(data: bytes, span: int, max_out: int) -> tuple[bytes, list]:
     points every ~`span` output bytes. Returns (full_output, points,
     input_bytes_consumed) with points = [(out_offset, bit_position), ...]."""
     lib = _load()
-    out = ctypes.create_string_buffer(max(max_out, 1))
+    arr, out = _outbuf(max_out)
     cap_pts = max(4, max_out // max(span, 1) + 4)
     pts = (ctypes.c_uint64 * (2 * cap_pts))()
     npts = ctypes.c_size_t(0)
@@ -190,7 +200,7 @@ def zran_index(data: bytes, span: int, max_out: int) -> tuple[bytes, list]:
     if rc == -3:
         raise ValueError("truncated deflate data")
     points = [(pts[2 * i], pts[2 * i + 1]) for i in range(npts.value)]
-    return out.raw[:rc], points, in_used.value
+    return arr[:rc].tobytes(), points, in_used.value
 
 
 def inflate_region(
@@ -199,13 +209,13 @@ def inflate_region(
     """Resume a raw deflate stream at a zran access point and decode `want`
     bytes. `data` starts at the byte containing the block header."""
     lib = _load()
-    out = ctypes.create_string_buffer(len(window) + max(want, 1))
+    arr, out = _outbuf(len(window) + max(want, 1))
     rc = lib.zrs_inflate_region(
         bytes(data), len(data), skip_bits, bytes(window), len(window), out, want
     )
     if rc < 0:
         raise ValueError(f"region decode failed ({rc})")
-    return out.raw[len(window) : len(window) + rc]
+    return arr[len(window) : len(window) + rc].tobytes()
 
 
 def deflate_parallel(
@@ -218,11 +228,11 @@ def deflate_parallel(
     """Multithreaded pigz-style chunked raw deflate (one valid stream)."""
     lib = _load()
     cap = len(data) + len(data) // 250 + 4096 + 16 * (len(data) // max(chunk_size, 1) + 2)
-    out = ctypes.create_string_buffer(cap)
+    arr, out = _outbuf(cap)
     rc = lib.zrs_deflate_parallel(
         bytes(data), len(data), level, chunk_size, 1 if prime_dict else 0,
         nthreads, out, cap,
     )
     if rc < 0:
         raise RuntimeError("native parallel deflate buffer overflow")
-    return out.raw[:rc]
+    return arr[:rc].tobytes()
