@@ -157,6 +157,12 @@ def bench_native(data: bytes, zstreams: dict) -> dict:
     assert native.inflate_parallel(body, index) == data
     t = _time_best(lambda: native.inflate_parallel(body, index))
     out["parallel_inflate_gbps"] = round(n / t / 1e9, 4)
+    # speculative parallel inflate of the MONOLITHIC stream — no index, no
+    # seams: rapidgzip-style scan + marker decode + stitch (exactness is
+    # checked here and guaranteed by the sequential-fallback construction)
+    assert native.inflate_speculative(raw6, n)[0] == data
+    t = _time_best(lambda: native.inflate_speculative(raw6, n))
+    out["speculative_inflate_gbps"] = round(n / t / 1e9, 4)
     return out
 
 

@@ -20,6 +20,9 @@
 #include <vector>
 #include <thread>
 #include <algorithm>
+#include <cstdio>
+#include <chrono>
+#include <mutex>
 
 #if defined(__AVX2__)
 #include <immintrin.h>
@@ -966,6 +969,70 @@ struct BitReader {
   size_t consumed(const uint8_t* start) const { return (p - start) - cnt / 8; }
 };
 
+// C++11 magic statics: thread-safe one-time build of fixed tables.
+// The fixed dist tree is built over all 32 symbols (30/31 decode to
+// invalid) because the RFC's fixed code is deliberately complete
+// only at 32 — with 30 lengths it would be rejected as incomplete.
+const std::pair<InfTable, InfTable>& fixed_tables() {
+  static const std::pair<InfTable, InfTable> fixed = [] {
+    std::pair<InfTable, InfTable> f;
+    uint8_t l[288];
+    for (int i = 0; i < 288; i++) l[i] = i < 144 ? 8 : i < 256 ? 9 : i < 280 ? 7 : 8;
+    build_table(0, l, 288, 9, f.first);
+    uint8_t d[32];
+    for (int i = 0; i < 32; i++) d[i] = 5;
+    build_table(1, d, 32, 5, f.second);
+    return f;
+  }();
+  return fixed;
+}
+
+// Parse a dynamic block's HLIT/HDIST/HCLEN header + code-length RLE and
+// build both decode tables. Returns 0 on success, -1 on data error, -3 on
+// truncation. Shared by the raw decoder, the speculative decoder, and the
+// split-point header validator.
+int parse_dynamic_tables(BitReader& br, InfTable& lt, InfTable& dt) {
+  static const int ORDER[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
+  if (!br.need(14)) return -3;
+  int nlen = (int)br.peek(5) + 257; br.drop(5);
+  int ndist = (int)br.peek(5) + 1; br.drop(5);
+  int ncode = (int)br.peek(4) + 4; br.drop(4);
+  if (nlen > 286 || ndist > 30) return -1;
+  uint8_t cl[19] = {0};
+  for (int i = 0; i < ncode; i++) {
+    if (!br.need(3)) return -3;
+    cl[ORDER[i]] = (uint8_t)br.peek(3); br.drop(3);
+  }
+  InfTable ct;
+  if (build_table(2, cl, 19, 7, ct)) return -1;
+  uint8_t lens[320] = {0};
+  int have = 0;
+  while (have < nlen + ndist) {
+    if (!br.need(7 + 7)) { if (!br.need(7)) return -3; }
+    uint32_t e = ct.t[br.peek(ct.root)];
+    int nb = (e >> 16) & 0x3f;
+    int sym = e & 0xffff;
+    if (br.cnt < nb) return -3;
+    if (sym < 16) { br.drop(nb); lens[have++] = (uint8_t)sym; continue; }
+    int extra = sym == 16 ? 2 : sym == 17 ? 3 : 7;
+    if (!br.need(nb + extra)) return -3;
+    br.drop(nb);
+    int rep, fill = 0;
+    if (sym == 16) {
+      if (have == 0) return -1;
+      rep = 3 + (int)br.peek(2); br.drop(2);
+      fill = lens[have - 1];
+    } else if (sym == 17) { rep = 3 + (int)br.peek(3); br.drop(3); }
+    else { rep = 11 + (int)br.peek(7); br.drop(7); }
+    if (have + rep > nlen + ndist) return -1;
+    while (rep--) lens[have++] = (uint8_t)fill;
+  }
+  if (lens[256] == 0) return -1;
+  if (build_table(0, lens, nlen, 10, lt)) return -1;
+  if (build_table(1, lens + nlen, ndist, 9, dt)) return -1;
+  return 0;
+}
+
 // Optional extensions to the raw-inflate loop: start mid-stream (skip_bits
 // of the first byte already consumed, `hist` bytes of window history
 // pre-filled in out[0..hist)), stop once `cap` output bytes exist
@@ -982,6 +1049,12 @@ struct RegionOpts {
   uint64_t* pts = nullptr;   // pairs: (out_offset, bit_position)
   size_t cap_pts = 0;
   size_t* npts = nullptr;
+  // speculative-stitch support: stop before starting a block at/after this
+  // bit position (0 = none); report where decoding stopped and whether the
+  // BFINAL block completed
+  uint64_t stop_bit = 0;
+  uint64_t end_bit = 0;
+  bool final_seen = false;
 };
 
 // returns out length, or -1 on data error, -2 on output overflow, -3 truncated.
@@ -989,7 +1062,7 @@ struct RegionOpts {
 // (chunk bodies from the parallel seam format have no BFINAL).
 long inflate_raw_impl(const uint8_t* in, size_t nin, uint8_t* out, size_t cap,
                       size_t* in_used, bool allow_region_end = false,
-                      const RegionOpts* ro = nullptr) {
+                      RegionOpts* ro = nullptr) {
   BitReader br(in, nin);
   size_t op = ro ? ro->hist : 0;
   const bool stop_cap = ro && ro->stop_at_cap;
@@ -1000,15 +1073,24 @@ long inflate_raw_impl(const uint8_t* in, size_t nin, uint8_t* out, size_t cap,
     br.drop(ro->skip_bits);
   }
   static const int ORDER[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
+  bool first_block = true;
   for (;;) {
-    if (ro && ro->pts && op > (ro ? ro->hist : 0) && op - last_pt >= ro->span &&
-        *ro->npts < ro->cap_pts) {
+    if (ro && (ro->pts || ro->stop_bit)) {
       uint64_t bitpos = (uint64_t)(br.p - in) * 8 - br.cnt;
-      ro->pts[2 * *ro->npts] = op;
-      ro->pts[2 * *ro->npts + 1] = bitpos;
-      (*ro->npts)++;
-      last_pt = op;
+      if (ro->stop_bit && !first_block && bitpos >= ro->stop_bit) {
+        ro->end_bit = bitpos;
+        if (in_used) *in_used = br.consumed(in);
+        return (long)op;
+      }
+      if (ro->pts && op > ro->hist && op - last_pt >= ro->span &&
+          *ro->npts < ro->cap_pts) {
+        ro->pts[2 * *ro->npts] = op;
+        ro->pts[2 * *ro->npts + 1] = bitpos;
+        (*ro->npts)++;
+        last_pt = op;
+      }
     }
+    first_block = false;
     if (!br.need(3)) {
       if (allow_region_end && br.cnt < 3) { if (in_used) *in_used = nin; return (long)op; }
       return -3;
@@ -1040,60 +1122,12 @@ long inflate_raw_impl(const uint8_t* in, size_t nin, uint8_t* out, size_t cap,
       InfTable lt_dyn, dt_dyn;
       const InfTable *plt, *pdt;
       if (type == 1) {
-        // C++11 magic statics: thread-safe one-time build of fixed tables.
-        // The fixed dist tree is built over all 32 symbols (30/31 decode to
-        // invalid) because the RFC's fixed code is deliberately complete
-        // only at 32 — with 30 lengths it would be rejected as incomplete.
-        static const std::pair<InfTable, InfTable> fixed = [] {
-          std::pair<InfTable, InfTable> f;
-          uint8_t l[288];
-          for (int i = 0; i < 288; i++) l[i] = i < 144 ? 8 : i < 256 ? 9 : i < 280 ? 7 : 8;
-          build_table(0, l, 288, 9, f.first);
-          uint8_t d[32];
-          for (int i = 0; i < 32; i++) d[i] = 5;
-          build_table(1, d, 32, 5, f.second);
-          return f;
-        }();
+        const auto& fixed = fixed_tables();
         plt = &fixed.first;
         pdt = &fixed.second;
       } else {
-        if (!br.need(14)) return -3;
-        int nlen = (int)br.peek(5) + 257; br.drop(5);
-        int ndist = (int)br.peek(5) + 1; br.drop(5);
-        int ncode = (int)br.peek(4) + 4; br.drop(4);
-        if (nlen > 286 || ndist > 30) return -1;
-        uint8_t cl[19] = {0};
-        for (int i = 0; i < ncode; i++) {
-          if (!br.need(3)) return -3;
-          cl[ORDER[i]] = (uint8_t)br.peek(3); br.drop(3);
-        }
-        InfTable ct;
-        if (build_table(2, cl, 19, 7, ct)) return -1;
-        uint8_t lens[320] = {0};
-        int have = 0;
-        while (have < nlen + ndist) {
-          if (!br.need(7 + 7)) { if (!br.need(7)) return -3; }
-          uint32_t e = ct.t[br.peek(ct.root)];
-          int nb = (e >> 16) & 0x3f;
-          int sym = e & 0xffff;
-          if (br.cnt < nb) return -3;
-          if (sym < 16) { br.drop(nb); lens[have++] = (uint8_t)sym; continue; }
-          int extra = sym == 16 ? 2 : sym == 17 ? 3 : 7;
-          if (!br.need(nb + extra)) return -3;
-          br.drop(nb);
-          int rep, fill = 0;
-          if (sym == 16) {
-            if (have == 0) return -1;
-            rep = 3 + (int)br.peek(2); br.drop(2);
-            fill = lens[have - 1];
-          } else if (sym == 17) { rep = 3 + (int)br.peek(3); br.drop(3); }
-          else { rep = 11 + (int)br.peek(7); br.drop(7); }
-          if (have + rep > nlen + ndist) return -1;
-          while (rep--) lens[have++] = (uint8_t)fill;
-        }
-        if (lens[256] == 0) return -1;
-        if (build_table(0, lens, nlen, 10, lt_dyn)) return -1;
-        if (build_table(1, lens + nlen, ndist, 9, dt_dyn)) return -1;
+        int perr = parse_dynamic_tables(br, lt_dyn, dt_dyn);
+        if (perr) return perr;
         plt = &lt_dyn;
         pdt = &dt_dyn;
       }
@@ -1159,8 +1193,298 @@ long inflate_raw_impl(const uint8_t* in, size_t nin, uint8_t* out, size_t cap,
     }
     if (final_f) break;
   }
+  if (ro) {
+    ro->final_seen = true;
+    ro->end_bit = (uint64_t)(br.p - in) * 8 - br.cnt;
+  }
   if (in_used) *in_used = br.consumed(in);
   return (long)op;
+}
+
+// ---------------------------------------------------------------------------
+// speculative parallel inflate (rapidgzip-style two-pass; SURVEY §7 step 7,
+// PAPERS.md "rapidgzip"). Phase 1 scans each input split for a plausible
+// deflate block header and decodes speculatively into 16-bit cells, where a
+// cell >= 256 is a reference into the then-unknown 32 KiB window. Phase 2
+// stitches sequentially: markers resolve against the real window once the
+// previous segment's bytes exist, and any join mismatch re-decodes that span
+// with the exact byte decoder — speculation is opportunistic, never
+// load-bearing for correctness (the container checksum remains the final
+// oracle above this layer).
+// ---------------------------------------------------------------------------
+
+// Recycle segment byte buffers across calls: this VM (and axon guests in
+// general) faults fresh anonymous pages at ~220us/page, so re-touching a
+// recycled buffer is ~300x cheaper than first-touching a new one. The pool
+// holds at most a few buffers (one per hardware thread in steady state).
+std::mutex g_spec_pool_mu;
+std::vector<std::vector<uint8_t>> g_spec_pool;
+
+std::vector<uint8_t> spec_buf_acquire() {
+  std::lock_guard<std::mutex> g(g_spec_pool_mu);
+  if (g_spec_pool.empty()) return {};
+  std::vector<uint8_t> b = std::move(g_spec_pool.back());
+  g_spec_pool.pop_back();
+  return b;
+}
+
+void spec_buf_release(std::vector<uint8_t>&& b) {
+  if (b.capacity() < (1u << 20)) return;  // not worth keeping
+  std::lock_guard<std::mutex> g(g_spec_pool_mu);
+  if (g_spec_pool.size() < 64) g_spec_pool.emplace_back(std::move(b));
+}
+
+struct SpecSeg {
+  // Decoded bytes, with window references into the (unknown) 32 KiB before
+  // the segment recorded SPARSELY in `marks` as (index, back) — back = how
+  // many bytes before the segment start the reference points. The byte at a
+  // marked index is a placeholder. Sparse marks keep the hot decode loop on
+  // plain memcpy and make the stitch a parallel memcpy + tiny fix-up pass
+  // (the u16 cell-per-byte design spent over half its wall time narrowing
+  // cells back to bytes).
+  std::vector<uint8_t> bytes;
+  std::vector<std::pair<uint32_t, uint16_t>> marks;  // sorted by index
+  size_t n = 0;
+  uint64_t start_bit = 0, end_bit = 0;
+  bool final_seen = false;
+  bool ok = false;
+
+  // amortized growth with an explicit length so the hot loops work on raw
+  // pointers (vector push_back per byte measured ~8x slower than the byte
+  // decoder's memcpy paths)
+  inline bool ensure(size_t extra, size_t cap) {
+    if (n + extra > bytes.size()) {
+      if (n + extra > cap) return false;
+      bytes.resize(std::min(cap, std::max(bytes.size() * 2 + 65536, n + extra)));
+    }
+    return true;
+  }
+};
+
+// Decode speculatively from start_bit, stopping at the first block boundary
+// at/after stop_bit (or after the BFINAL block). Returns false on any decode
+// inconsistency; *why = -2 when the cell cap was hit (not worth rescanning).
+bool spec_decode(const uint8_t* in, size_t nin, uint64_t start_bit,
+                 uint64_t stop_bit, size_t cap_cells, SpecSeg& seg, int* why) {
+  *why = -1;
+  seg.n = 0;
+  seg.marks.clear();
+  seg.start_bit = start_bit;
+  seg.final_seen = false;
+  const uint8_t* seg_base = in + start_bit / 8;
+  uint64_t base_bits = (start_bit / 8) * 8;
+  BitReader br(seg_base, nin - start_bit / 8);
+  if (start_bit % 8) {
+    if (!br.need(8)) return false;
+    br.drop((int)(start_bit % 8));
+  }
+  bool first = true;
+  for (;;) {
+    uint64_t bitpos = base_bits + (uint64_t)(br.p - seg_base) * 8 - br.cnt;
+    if (!first && bitpos >= stop_bit) { seg.end_bit = bitpos; return true; }
+    first = false;
+    if (!br.need(3)) return false;
+    int final_f = br.peek(1); br.drop(1);
+    int type = br.peek(2); br.drop(2);
+    if (type == 3) return false;
+    if (type == 0) {
+      br.drop(br.cnt & 7);
+      if (!br.need(32)) return false;
+      unsigned len = br.peek(16); br.drop(16);
+      unsigned nlen = br.peek(16); br.drop(16);
+      if ((len ^ nlen) != 0xffff) return false;
+      if (!seg.ensure(len, cap_cells)) { *why = -2; return false; }
+      uint8_t* dst = seg.bytes.data() + seg.n;
+      while (len && br.cnt >= 8) {
+        *dst++ = (uint8_t)br.peek(8); br.drop(8); len--; seg.n++;
+      }
+      if (len) {
+        if ((size_t)(br.end - br.p) < len) return false;
+        std::memcpy(dst, br.p, len);
+        seg.n += len;
+        br.p += len;
+        br.clear_stale();
+      }
+    } else {
+      InfTable lt_dyn, dt_dyn;
+      const InfTable *plt, *pdt;
+      if (type == 1) {
+        const auto& fixed = fixed_tables();
+        plt = &fixed.first;
+        pdt = &fixed.second;
+      } else {
+        if (parse_dynamic_tables(br, lt_dyn, dt_dyn)) return false;
+        plt = &lt_dyn;
+        pdt = &dt_dyn;
+      }
+      const InfTable& lt = *plt;
+      const InfTable& dt = *pdt;
+      for (;;) {
+        if (!br.need(15)) { if (br.cnt == 0 && br.p >= br.end) return false; }
+        uint32_t e = lt.t[br.peek(lt.root)];
+        int kind = e >> 28, nb = (e >> 16) & 0x3f;
+        if (kind == 3) {
+          int off = e & 0xffff, sb = (e >> 22) & 0x3f;
+          e = lt.t[off + ((br.peek(nb + sb)) >> nb)];
+          kind = e >> 28;
+          nb += (e >> 16) & 0x3f;
+        }
+        if (br.cnt < nb) { if (!br.need(nb)) return false; continue; }
+        if (kind == 0) {
+          if (!seg.ensure(1, cap_cells)) { *why = -2; return false; }
+          br.drop(nb);
+          seg.bytes[seg.n++] = (uint8_t)(e & 0xff);
+          continue;
+        }
+        if (kind == 2) { br.drop(nb); break; }
+        if (kind == 4) return false;
+        int aux = (e >> 22) & 0x3f;
+        if (!br.need(nb + aux)) return false;
+        br.drop(nb);
+        int length = (int)(e & 0xffff) + (aux ? (int)br.peek(aux) : 0);
+        if (aux) br.drop(aux);
+        if (!br.need(15)) { }
+        uint32_t de = dt.t[br.peek(dt.root)];
+        int dkind = de >> 28, dnb = (de >> 16) & 0x3f;
+        if (dkind == 3) {
+          int off = de & 0xffff, sb = (de >> 22) & 0x3f;
+          de = dt.t[off + ((br.peek(dnb + sb)) >> dnb)];
+          dkind = de >> 28;
+          dnb += (de >> 16) & 0x3f;
+        }
+        if (dkind == 4) return false;
+        int daux = (de >> 22) & 0x3f;
+        if (!br.need(dnb + daux)) return false;
+        br.drop(dnb);
+        size_t dist = (size_t)(de & 0xffff) + (daux ? br.peek(daux) : 0);
+        if (daux) br.drop(daux);
+        if (dist > seg.n + WSIZE) return false;
+        if (!seg.ensure((size_t)length, cap_cells)) { *why = -2; return false; }
+        size_t rem = (size_t)length;
+        if (dist > seg.n) {
+          // leading run referencing the unknown pre-segment window: emit
+          // placeholders + sparse marks (back = dist - pos shrinks per byte)
+          size_t nm = std::min(rem, dist - seg.n);
+          for (size_t i = 0; i < nm; i++) {
+            seg.bytes[seg.n] = 0;
+            seg.marks.emplace_back((uint32_t)seg.n, (uint16_t)(dist - seg.n));
+            seg.n++;
+          }
+          rem -= nm;
+        }
+        if (rem) {  // dist <= seg.n here
+          uint8_t* dst = seg.bytes.data() + seg.n;
+          const uint8_t* src = dst - dist;
+          if (dist >= rem) std::memcpy(dst, src, rem);
+          else
+            for (size_t i = 0; i < rem; i++) dst[i] = src[i];
+          // a copy whose source overlaps marked positions propagates those
+          // marks (index shifts by +dist, back unchanged); scanning by index
+          // also catches self-overlap (freshly appended marks re-propagate)
+          size_t src0 = seg.n - dist;
+          if (!seg.marks.empty() && seg.marks.back().first >= src0) {
+            size_t lo = std::lower_bound(
+                            seg.marks.begin(), seg.marks.end(), (uint32_t)src0,
+                            [](const std::pair<uint32_t, uint16_t>& m,
+                               uint32_t v) { return m.first < v; }) -
+                        seg.marks.begin();
+            for (size_t mi = lo;
+                 mi < seg.marks.size() && seg.marks[mi].first < src0 + rem; mi++)
+              seg.marks.emplace_back((uint32_t)(seg.marks[mi].first + dist),
+                                     seg.marks[mi].second);
+          }
+          seg.n += rem;
+        }
+      }
+    }
+    if (final_f) {
+      seg.final_seen = true;
+      seg.end_bit = base_bits + (uint64_t)(br.p - seg_base) * 8 - br.cnt;
+      return true;
+    }
+  }
+}
+
+// Structural plausibility of a block-header CHAIN at bit offset b. Dynamic
+// headers validate fully (HCLEN/lens RLE/table build: ~2^-35 false rate);
+// stored links chain-validate through their LEN/~NLEN; static blocks get a
+// bounded fixed-table sanity decode. False positives are caught later by the
+// decode + stitch join (and ultimately the container checksum).
+bool validate_header_at(const uint8_t* in, size_t nin, uint64_t b, int depth) {
+  if (b / 8 >= nin) return false;
+  const uint8_t* base = in + b / 8;
+  BitReader br(base, nin - b / 8);
+  if (b % 8) {
+    if (!br.need(8)) return false;
+    br.drop((int)(b % 8));
+  }
+  int stored_links = 0;
+  for (int d = 0; d < depth; d++) {
+    if (!br.need(3)) return false;
+    br.drop(1);  // BFINAL can be either
+    int type = br.peek(2); br.drop(2);
+    if (type == 3) return false;
+    // A static block cannot ANCHOR a candidate: its 3-bit header plus a
+    // fixed-table sanity decode still passes ~46% of random offsets, which
+    // floods the scan with false anchors (measured). Statics validate only
+    // as chained followers of a stored/dynamic anchor.
+    if (type == 1 && d == 0) return false;
+    if (type == 0) {
+      br.drop(br.cnt & 7);
+      if (!br.need(32)) return false;
+      unsigned len = br.peek(16); br.drop(16);
+      unsigned nlen = br.peek(16); br.drop(16);
+      if ((len ^ nlen) != 0xffff || len == 0) return false;
+      while (len && br.cnt >= 8) { br.drop(8); len--; }
+      if (len) {
+        if ((size_t)(br.end - br.p) < len) return false;
+        br.p += len;
+        br.clear_stale();
+      }
+      stored_links++;
+      continue;  // validate the next link in the chain
+    }
+    if (type == 2) {
+      InfTable lt, dt;
+      return parse_dynamic_tables(br, lt, dt) == 0;
+    }
+    // static: sanity-decode up to 192 symbols with the fixed tables
+    const auto& fixed = fixed_tables();
+    const InfTable& lt = fixed.first;
+    const InfTable& dt = fixed.second;
+    int syms = 0;
+    bool eob = false;
+    while (syms < 192) {
+      if (!br.need(15) && br.cnt == 0) return false;
+      uint32_t e = lt.t[br.peek(lt.root)];
+      int kind = e >> 28, nb = (e >> 16) & 0x3f;
+      if (br.cnt < nb) { if (!br.need(nb)) return false; continue; }
+      if (kind == 4) return false;
+      if (kind == 2) { br.drop(nb); eob = true; break; }
+      if (kind == 0) { br.drop(nb); syms++; continue; }
+      int aux = (e >> 22) & 0x3f;
+      if (!br.need(nb + aux)) return false;
+      br.drop(nb + aux);
+      if (!br.need(15)) { }
+      uint32_t de = dt.t[br.peek(dt.root)];
+      int dkind = de >> 28, dnb = (de >> 16) & 0x3f;
+      if (dkind == 4) return false;
+      int daux = (de >> 22) & 0x3f;
+      if (!br.need(dnb + daux)) return false;
+      br.drop(dnb + daux);
+      syms++;
+    }
+    if (!eob) return syms >= 192;  // ran the full sample cleanly: plausible
+    // EOB hit: chain to the next block header
+  }
+  return stored_links >= 2;  // long stored chain: ~2^-32 combined false rate
+}
+
+long find_candidate(const uint8_t* in, size_t nin, uint64_t from_bit,
+                    uint64_t to_bit) {
+  for (uint64_t b = from_bit; b < to_bit; b++)
+    if (validate_header_at(in, nin, b, 6)) return (long)b;
+  return -1;
 }
 
 }  // namespace
@@ -1292,6 +1616,170 @@ long zrs_deflate_parallel(const uint8_t* in, size_t n, int level, size_t chunk,
   size_t off = 0;
   for (auto& p : parts) { std::memcpy(out_buf + off, p.data(), p.size()); off += p.size(); }
   return (long)total;
+}
+
+// Speculative parallel inflate of ONE raw deflate stream with no index
+// (rapidgzip-style two-pass; see the anonymous-namespace block above).
+// Returns output length; -1 data error, -2 output overflow, -3 truncated.
+// *in_used gets the compressed bytes consumed (trailer bytes excluded).
+long zrs_inflate_speculative(const uint8_t* in, size_t n, uint8_t* out,
+                             size_t cap, int nthreads, size_t* in_used) {
+  if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
+  if (nthreads < 1) nthreads = 1;
+  constexpr size_t MIN_SEG = 1 << 20;
+  size_t T = std::min<size_t>((size_t)nthreads, std::max<size_t>(1, n / MIN_SEG));
+  if (T <= 1) {
+    RegionOpts ro;
+    long r = inflate_raw_impl(in, n, out, cap, in_used, false, &ro);
+    return r;
+  }
+  std::vector<SpecSeg> segs(T);
+  for (auto& s : segs) s.bytes = spec_buf_acquire();
+  struct PoolReturn {
+    std::vector<SpecSeg>& segs;
+    ~PoolReturn() {
+      for (auto& s : segs) spec_buf_release(std::move(s.bytes));
+    }
+  } pool_return{segs};
+  const size_t seg_bytes = n / T;
+  const size_t cap_cells = cap / T * 4 + (1 << 20);
+  const bool dbg = std::getenv("ZRS_SPEC_DEBUG") != nullptr;
+  std::vector<double> scan_ms(T, 0), dec_ms(T, 0);
+  {
+    std::vector<std::thread> pool;
+    std::atomic_size_t next{0};
+    auto worker = [&]() {
+      for (;;) {
+        size_t k = next.fetch_add(1);
+        if (k >= T) return;
+        uint64_t hi = (k + 1 == T) ? (uint64_t)n * 8
+                                   : (uint64_t)(k + 1) * seg_bytes * 8;
+        int why = 0;
+        if (k == 0) {
+          auto t0 = std::chrono::steady_clock::now();
+          segs[0].ok = spec_decode(in, n, 0, hi, cap_cells, segs[0], &why);
+          dec_ms[0] = std::chrono::duration<double, std::milli>(
+                          std::chrono::steady_clock::now() - t0).count();
+          continue;
+        }
+        uint64_t b = (uint64_t)k * seg_bytes * 8;
+        for (int attempts = 0; b < hi && attempts < 24; attempts++) {
+          auto t0 = std::chrono::steady_clock::now();
+          long c = find_candidate(in, n, b, hi);
+          auto t1 = std::chrono::steady_clock::now();
+          scan_ms[k] += std::chrono::duration<double, std::milli>(t1 - t0).count();
+          if (c < 0) break;
+          bool ok = spec_decode(in, n, (uint64_t)c, hi, cap_cells, segs[k], &why);
+          dec_ms[k] += std::chrono::duration<double, std::milli>(
+                           std::chrono::steady_clock::now() - t1).count();
+          if (ok) {
+            segs[k].ok = true;
+            break;
+          }
+          if (why == -2) break;  // cell cap: the exact fallback handles it
+          b = (uint64_t)c + 1;
+        }
+      }
+    };
+    for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  if (dbg) {
+    for (size_t k = 0; k < T; k++)
+      std::fprintf(stderr,
+                   "seg %zu ok=%d start=%llu end=%llu n=%zu marks=%zu scan=%.1fms dec=%.1fms\n",
+                   k, (int)segs[k].ok, (unsigned long long)segs[k].start_bit,
+                   (unsigned long long)segs[k].end_bit, segs[k].n,
+                   segs[k].marks.size(), scan_ms[k], dec_ms[k]);
+  }
+  // sequential stitch: resolve markers against the now-known window, or
+  // re-decode exactly where speculation missed the real block chain
+  auto stitch_t0 = std::chrono::steady_clock::now();
+  size_t op = 0;
+  uint64_t cur_bit = 0;
+  bool done = false;
+  // Fast path: every segment speculated correctly and the block-boundary
+  // chain is seamless. The bulk of each segment (cells beyond marker_end)
+  // is plain bytes — narrow u16→u8 in parallel at precomputed offsets; the
+  // marker prefixes resolve sequentially afterwards (segment order makes
+  // every referenced earlier byte already-written).
+  bool all_chain = segs[0].ok && segs[0].start_bit == 0;
+  for (size_t k = 1; all_chain && k < T; k++)
+    all_chain = segs[k].ok && !segs[k - 1].final_seen &&
+                segs[k].start_bit == segs[k - 1].end_bit;
+  if (all_chain && segs[T - 1].final_seen) {
+    std::vector<size_t> ofs(T + 1, 0);
+    for (size_t k = 0; k < T; k++) ofs[k + 1] = ofs[k] + segs[k].n;
+    if (ofs[T] > cap) return -2;
+    {
+      std::vector<std::thread> pool;
+      std::atomic_size_t next{0};
+      auto worker = [&]() {
+        for (;;) {
+          size_t k = next.fetch_add(1);
+          if (k >= T) return;
+          std::memcpy(out + ofs[k], segs[k].bytes.data(), segs[k].n);
+        }
+      };
+      for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
+      for (auto& t : pool) t.join();
+    }
+    // resolve marks in segment order: every referenced byte is either
+    // unmarked (already memcpy'd) or an earlier segment's mark (resolved)
+    for (size_t k = 0; k < T; k++) {
+      const size_t base = ofs[k];
+      for (const auto& m : segs[k].marks) {
+        size_t back = m.second;          // bytes before the segment start
+        if (back > base) return -1;      // reference before stream start
+        out[base + m.first] = out[base - back];
+      }
+    }
+    op = ofs[T];
+    cur_bit = segs[T - 1].end_bit;
+    done = true;
+  }
+  for (size_t k = 0; k < T && !done; k++) {
+    uint64_t seg_stop = (k + 1 == T) ? (uint64_t)n * 8
+                                     : (uint64_t)(k + 1) * seg_bytes * 8;
+    if (k > 0 && cur_bit >= seg_stop) continue;  // already decoded past it
+    auto seg_t0 = std::chrono::steady_clock::now();
+    bool took_cells = segs[k].ok && segs[k].start_bit == cur_bit;
+    if (took_cells) {
+      const size_t nc = segs[k].n;
+      if (op + nc > cap) return -2;
+      std::memcpy(out + op, segs[k].bytes.data(), nc);
+      for (const auto& m : segs[k].marks) {
+        size_t back = m.second;          // bytes before the segment start
+        if (back > op) return -1;        // reference before stream start
+        out[op + m.first] = out[op - back];
+      }
+      op += nc;
+      cur_bit = segs[k].end_bit;
+      done = segs[k].final_seen;
+    } else {
+      RegionOpts ro;
+      ro.hist = op;
+      ro.skip_bits = (int)(cur_bit % 8);
+      ro.stop_bit = seg_stop - (cur_bit / 8) * 8;
+      long r = inflate_raw_impl(in + cur_bit / 8, n - cur_bit / 8, out, cap,
+                                nullptr, false, &ro);
+      if (r < 0) return r;
+      op = (size_t)r;
+      cur_bit = (cur_bit / 8) * 8 + ro.end_bit;
+      done = ro.final_seen;
+    }
+    if (dbg)
+      std::fprintf(stderr, "stitch seg %zu cells=%d %.1fms\n", k, (int)took_cells,
+                   std::chrono::duration<double, std::milli>(
+                       std::chrono::steady_clock::now() - seg_t0).count());
+  }
+  if (dbg)
+    std::fprintf(stderr, "stitch=%.1fms\n",
+                 std::chrono::duration<double, std::milli>(
+                     std::chrono::steady_clock::now() - stitch_t0).count());
+  if (!done) return -3;
+  if (in_used) *in_used = (size_t)((cur_bit + 7) / 8);
+  return (long)op;
 }
 
 // Parallel inflate of independent raw-deflate regions (indexed chunks from

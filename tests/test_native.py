@@ -132,3 +132,52 @@ def test_cli_native_roundtrip(tmp_path):
     assert gzip.decompress((tmp_path / "payload.bin.gz").read_bytes()) == DATA
     assert main(["-d", "-f", "--engine", "native", str(tmp_path / "payload.bin.gz")]) == 0
     assert src.read_bytes() == DATA
+
+
+class TestSpeculativeInflate:
+    """rapidgzip-style speculative parallel inflate (SURVEY §7 step 7):
+    exactness is guaranteed by construction (seam misses re-decode with the
+    sequential engine), so these assert byte equality everywhere."""
+
+    def _roundtrip(self, data, level=6, strategy=zlib.Z_DEFAULT_STRATEGY):
+        comp = zlib.compressobj(level, zlib.DEFLATED, -15, 8, strategy)
+        raw = comp.compress(data) + comp.flush()
+        out, used = native.inflate_speculative(raw, len(data) + 64, 4)
+        assert out == data
+        assert used == len(raw)
+
+    def test_multi_segment_text(self):
+        self._roundtrip((TEXT + DATA) * 40, 6)
+
+    def test_levels(self):
+        blob = DATA * 30
+        for level in (1, 6, 9):
+            self._roundtrip(blob, level)
+
+    def test_deep_dist1_chain_markers(self):
+        # dist-1 runs make every post-seam segment start on window markers
+        self._roundtrip(b"a" * 8_000_000)
+
+    def test_stored_blocks(self):
+        self._roundtrip(bytes(random.randrange(256) for _ in range(4_000_000)), 6)
+
+    def test_strategies(self):
+        blob = TEXT * 300
+        self._roundtrip(blob, 6, zlib.Z_HUFFMAN_ONLY)
+        self._roundtrip(blob, 6, zlib.Z_RLE)
+
+    def test_small_input_sequential_path(self):
+        self._roundtrip(b"hello speculative world")
+        self._roundtrip(b"")
+
+    def test_truncated_raises(self):
+        comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+        raw = comp.compress(DATA * 30) + comp.flush()
+        with pytest.raises(ValueError):
+            native.inflate_speculative(raw[: len(raw) // 2], len(DATA) * 30, 4)
+
+    def test_oneshot_routes_large_through_speculative(self):
+        import zlib_rs_tpu as z
+
+        blob = (DATA + TEXT) * 24  # > 2 MiB compressed
+        assert z.decompress(zlib.compress(blob, 6)) == blob

@@ -130,13 +130,18 @@ def _decompress(data: bytes, args) -> bytes:
 
 
 def _native_inflate_grow(payload: bytes) -> tuple[bytes, int]:
-    """Raw inflate with growing output capacity."""
+    """Raw inflate with growing output capacity; multi-MB payloads take the
+    speculative parallel engine (exact — seam misses re-decode; pigz -d
+    behavior but without needing seams)."""
     from . import native
 
     cap = max(1 << 16, len(payload) * 4)
+    decode = (
+        native.inflate_speculative if len(payload) >= (2 << 20) else native.inflate_raw
+    )
     while True:
         try:
-            return native.inflate_raw(payload, cap)
+            return decode(payload, cap)
         except BufferError:
             cap *= 4
 

@@ -108,9 +108,18 @@ def _try_native_decompress(data: bytes, window_bits: int):
 
         def grow(payload):
             cap = max(1 << 16, len(payload) * 4)
+            # multi-MB payloads decode with the rapidgzip-style speculative
+            # parallel engine (exact: any seam speculation misses re-decode
+            # sequentially; the container checksum above remains the oracle);
+            # small ones take the plain sequential hot loop
+            decode = (
+                native.inflate_speculative
+                if len(payload) >= (2 << 20)
+                else native.inflate_raw
+            )
             while True:
                 try:
-                    return native.inflate_raw(payload, cap)
+                    return decode(payload, cap)
                 except BufferError:
                     cap *= 4
 

@@ -19,12 +19,34 @@ import threading
 import numpy as _np
 
 
+_bufpool: list = []  # recycled output arrays, largest-capacity first
+
+
 def _outbuf(cap: int):
-    """Uninitialized output buffer + its ctypes pointer (create_string_buffer
-    memsets the whole capacity and .raw copies it back — both wasted work on
-    multi-MB one-shot calls)."""
-    arr = _np.empty(max(cap, 1), _np.uint8)
+    """Output buffer + its ctypes pointer, recycled across calls.
+
+    Two deliberate choices: numpy over create_string_buffer (which memsets
+    the whole capacity and copies it back via .raw), and a recycle pool —
+    this VM faults fresh anonymous pages at ~220us/page (~18 MB/s!), so a
+    first-touch of a new multi-MB buffer costs more than the codec work
+    itself. Warm reuse runs at memory bandwidth."""
+    cap = max(cap, 1)
+    with _lock:
+        for i, arr in enumerate(_bufpool):
+            if arr.size >= cap:
+                del _bufpool[i]
+                return arr, arr.ctypes.data_as(ctypes.c_void_p)
+    arr = _np.empty(max(cap, 1 << 20), _np.uint8)
     return arr, arr.ctypes.data_as(ctypes.c_void_p)
+
+
+def _outbuf_release(arr) -> None:
+    if arr.size < (1 << 20):
+        return
+    with _lock:
+        if len(_bufpool) < 8:
+            _bufpool.append(arr)
+            _bufpool.sort(key=lambda a: -a.size)
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC = os.path.join(_REPO_ROOT, "native", "zrs_native.cpp")
@@ -100,6 +122,11 @@ def _load():
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
         ]
+        lib.zrs_inflate_speculative.restype = ctypes.c_long
+        lib.zrs_inflate_speculative.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_size_t),
+        ]
         _lib = lib
         return _lib
 
@@ -131,7 +158,9 @@ def deflate_chunk(
     )
     if rc < 0:
         raise RuntimeError("native deflate buffer overflow")
-    return arr[:rc].tobytes()
+    res = arr[:rc].tobytes()
+    _outbuf_release(arr)
+    return res
 
 
 def inflate_raw(data: bytes, max_out: int) -> tuple[bytes, int]:
@@ -149,7 +178,37 @@ def inflate_raw(data: bytes, max_out: int) -> tuple[bytes, int]:
         raise BufferError("output buffer too small")
     if rc == -3:
         raise ValueError("truncated deflate data")
-    return arr[:rc].tobytes(), used.value
+    res = arr[:rc].tobytes()
+    _outbuf_release(arr)
+    return res, used.value
+
+
+def inflate_speculative(data: bytes, max_out: int, nthreads: int = 0) -> tuple[bytes, int]:
+    """Parallel decode of ONE raw deflate stream with NO index: rapidgzip-style
+    speculation (scan each split for a validated block header, decode bytes
+    with a sparse side-list of unknown-window references, stitch via parallel
+    memcpy + mark fix-up; exact sequential re-decode covers any seam the
+    speculation missed). Returns (output, input_bytes_consumed).
+
+    Reference capability ladder: inflateSync/sync points (inflate.rs:2465)
+    exposed the seams; this makes monolithic foreign streams parallel without
+    them (SURVEY §7 step 7, PAPERS.md rapidgzip).
+    """
+    lib = _load()
+    arr, out = _outbuf(max_out)
+    used = ctypes.c_size_t(0)
+    rc = lib.zrs_inflate_speculative(
+        bytes(data), len(data), out, max_out, nthreads, ctypes.byref(used)
+    )
+    if rc == -1:
+        raise ValueError("invalid deflate data")
+    if rc == -2:
+        raise BufferError("output buffer too small")
+    if rc == -3:
+        raise ValueError("truncated deflate data")
+    res = arr[:rc].tobytes()
+    _outbuf_release(arr)
+    return res, used.value
 
 
 def inflate_parallel(data: bytes, index, nthreads: int = 0) -> bytes:
@@ -176,7 +235,9 @@ def inflate_parallel(data: bytes, index, nthreads: int = 0) -> bytes:
         raise ValueError(f"chunk {-rc - 1} failed to decode")
     if rc != acc:
         raise ValueError(f"decoded {rc} bytes, expected {acc}")
-    return arr[:acc].tobytes()
+    res = arr[:acc].tobytes()
+    _outbuf_release(arr)
+    return res
 
 
 def zran_index(data: bytes, span: int, max_out: int) -> tuple[bytes, list]:
@@ -200,7 +261,9 @@ def zran_index(data: bytes, span: int, max_out: int) -> tuple[bytes, list]:
     if rc == -3:
         raise ValueError("truncated deflate data")
     points = [(pts[2 * i], pts[2 * i + 1]) for i in range(npts.value)]
-    return arr[:rc].tobytes(), points, in_used.value
+    res = arr[:rc].tobytes()
+    _outbuf_release(arr)
+    return res, points, in_used.value
 
 
 def inflate_region(
@@ -215,7 +278,9 @@ def inflate_region(
     )
     if rc < 0:
         raise ValueError(f"region decode failed ({rc})")
-    return arr[len(window) : len(window) + rc].tobytes()
+    res = arr[len(window) : len(window) + rc].tobytes()
+    _outbuf_release(arr)
+    return res
 
 
 def deflate_parallel(
@@ -235,4 +300,6 @@ def deflate_parallel(
     )
     if rc < 0:
         raise RuntimeError("native parallel deflate buffer overflow")
-    return arr[:rc].tobytes()
+    res = arr[:rc].tobytes()
+    _outbuf_release(arr)
+    return res
