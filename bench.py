@@ -234,6 +234,33 @@ print('RESULT ' + json.dumps({'e2e_cold': e2e_cold, 'ratio': len(comp)/zref}), f
 """
 
 
+class _watchdog:
+    """SIGALRM-based phase timeout: the tunnel-attached chip can wedge any
+    device sync/fetch indefinitely; every device phase runs under one of
+    these so the bench always terminates and prints its JSON line."""
+
+    def __init__(self, seconds, label):
+        self.seconds = seconds
+        self.label = label
+
+    def __enter__(self):
+        import signal
+
+        def _fire(_sig, _frm):
+            raise TimeoutError(f"{self.label} exceeded {self.seconds}s")
+
+        self._old = signal.signal(signal.SIGALRM, _fire)
+        signal.alarm(self.seconds)
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, self._old)
+        return False
+
+
 def bench_device(data: bytes) -> dict:
     import jax
     import jax.numpy as jnp
@@ -270,11 +297,16 @@ def bench_device(data: bytes) -> dict:
             times.append(time.perf_counter() - t0)
         return times
 
-    times = measure(run_once, "encode")
-    if min(times) > 1.0:
-        _log("pathological timing; purging caches and retrying once")
-        jax.clear_caches()
-        times = measure(run_once, "encode")
+    try:
+        with _watchdog(600, "encode compile+measure"):
+            times = measure(run_once, "encode")
+            if min(times) > 1.0:
+                _log("pathological timing; purging caches and retrying once")
+                jax.clear_caches()
+                times = measure(run_once, "encode")
+    except TimeoutError as e:
+        _log(f"device encode phase wedged ({e}); device section omitted")
+        return dev
     best = min(times)
     dev["dispatch_loop_gbps"] = round(BATCH * CHUNK / best / 1e9, 4)
     _log(f"dispatch loop {dev['dispatch_loop_gbps']} GB/s (times {['%.4f' % t for t in times]})")
@@ -294,7 +326,8 @@ def bench_device(data: bytes) -> dict:
         return match_fn(dc, nv)
 
     try:
-        tm = min(measure(match_only, "match stage"))
+        with _watchdog(300, "match stage"):
+            tm = min(measure(match_only, "match stage"))
         dev["stage_ms"] = {
             "match": round(tm * 1e3, 2),
             "encode_total": round(best * 1e3, 2),
@@ -306,7 +339,8 @@ def bench_device(data: bytes) -> dict:
         return P._adler_batch(dc[:, :CHUNK], nv)
 
     try:
-        ta = min(measure(adler_only, "adler stage"))
+        with _watchdog(300, "adler stage"):
+            ta = min(measure(adler_only, "adler stage"))
         dev.setdefault("stage_ms", {})["adler"] = round(ta * 1e3, 2)
     except Exception as e:
         _log(f"adler timing skipped: {e}")
@@ -317,6 +351,7 @@ def bench_device(data: bytes) -> dict:
     # per-batch device time, immune to constant enqueue/sync optimism;
     # non-linear growth exposes a lying sync and the method reports that.
     try:
+      with _watchdog(600, "chain-scaling"):
         ks = [4, 16, 64]
         ts = []
         for K in ks:
@@ -389,6 +424,7 @@ def bench_device(data: bytes) -> dict:
     # full on-device block state machine; timed by the same chain-scaling
     # slope (no fetches)
     try:
+      with _watchdog(600, "device decode"):
         from zlib_rs_tpu import native as NV
         from zlib_rs_tpu.parallel import device_inflate as DI
 

@@ -341,59 +341,105 @@ def _resolve_lz(lits, lens, dists, nsym, out_size: int):
     return jax.vmap(one)(lits, lens, dists, outpos, total)
 
 
+# raw deflate of b"" (final fixed block, EOB only) — used to pad lane counts
+_EMPTY_REGION = b"\x03\x00"
+
+
+def _pow2_at_least(n: int, floor: int) -> int:
+    v = max(n, floor)
+    return 1 << (v - 1).bit_length()
+
+
 def decompress_chunks(
     bodies: list[bytes],
     out_sizes: list[int],
     windows: list[bytes] | None = None,
     start_bits: list[int] | None = None,
+    engine: str = "auto",
 ) -> list[bytes]:
     """Decode B independent byte-aligned multi-block regions on device.
 
-    Round 2: delegates to parallel/device_inflate.py — the full block-level
-    state machine runs on device (stored/fixed/dynamic blocks, any number of
-    blocks per region, on-device table builds, tape-based token recording),
-    so bodies may be compress_parallel chunk bodies, whole gzip members, or
+    Round 2: two device engines —
+      * "turbo" (parallel/turbo_inflate.py): position-parallel Huffman
+        decode, one pass per deflate block (the fast path);
+      * "lockstep" (parallel/device_inflate.py): per-symbol state machine
+        (the exact reference path, and the fallback when a region exceeds
+        turbo's block budget).
+    engine="auto" tries turbo and falls back per-batch on bad lanes.
+    Bodies may be compress_parallel chunk bodies, whole gzip members, or
     zran regions of foreign streams. `windows` supplies optional 32 KiB
     history per region (zran priming); `start_bits` lets a region begin at
     a sub-byte bit offset within its first byte.
+
+    Shapes are bucketed (lane count and row length padded to powers of
+    two, dummy lanes hold an empty final block) so repeated calls share
+    compiled executables.
     """
     from . import device_inflate as DI
+    from . import turbo_inflate as TI
 
     if not bodies:
         return []
-    B = len(bodies)
-    L = max(len(b) for b in bodies) + 8
+    n_real = len(bodies)
+    bodies = list(bodies)
+    out_sizes = list(out_sizes)
+    sb_list = list(start_bits) if start_bits else [0] * n_real
+    win_list = list(windows) if windows is not None else None
+    B = _pow2_at_least(n_real, 1)
+    while len(bodies) < B:
+        bodies.append(_EMPTY_REGION)
+        out_sizes.append(0)
+        sb_list.append(0)
+        if win_list is not None:
+            win_list.append(b"")
+    L = _pow2_at_least(max(len(b) for b in bodies) + 8, 64)
     comp = np.zeros((B, L), np.uint8)
     for i, b in enumerate(bodies):
         comp[i, : len(b)] = np.frombuffer(b, np.uint8)
-    sb = np.asarray(start_bits, np.int32) if start_bits else np.zeros(B, np.int32)
+    sb = np.asarray(sb_list, np.int32)
     eb = np.array([len(b) * 8 for b in bodies], np.int32)
     targets = np.asarray(out_sizes, np.int32)
-    max_out = int(targets.max()) if B else 0
+    max_out = _pow2_at_least(int(targets.max()), 1024) if int(targets.max()) else 1024
     wlen = 0
     wins = np.zeros((B, 0), np.uint8)
-    if windows is not None and any(windows):
+    if win_list is not None and any(win_list):
         wlen = 32768
         wins = np.zeros((B, wlen), np.uint8)
-        for i, w in enumerate(windows):
+        for i, w in enumerate(win_list):
             if w:
                 w = w[-wlen:]
                 wins[i, wlen - len(w) :] = np.frombuffer(w, np.uint8)
-    # step budget: one output byte per literal plus per-block header slack
-    max_steps = max_out + 2 + 512 * max(1, max(len(b) for b in bodies) // 4096)
-    tk, ta, tb, _nsteps, _produced, bad = DI.decode_regions(
-        jnp.asarray(comp), jnp.asarray(sb), jnp.asarray(eb), jnp.asarray(targets),
-        max_steps=max_steps, max_out=max_out,
-    )
-    if bool(np.asarray(bad).any()):
-        which = int(np.flatnonzero(np.asarray(bad))[0])
-        raise ValueError(f"region {which} failed to decode on device")
+
+    cj, sbj, ebj, tgj = (jnp.asarray(comp), jnp.asarray(sb),
+                         jnp.asarray(eb), jnp.asarray(targets))
+    tk = ta = tb = None
+    if engine in ("auto", "turbo"):
+        # block budget: zlib-family encoders emit ~one block per 16K
+        # symbols (>= 16K output bytes); generous slack for stored runs
+        max_blocks = max(8, max_out // 16384 + 8)
+        tk, ta, tb, _produced, bad, _blk = TI.decode_regions_turbo(
+            cj, sbj, ebj, tgj, max_blocks=max_blocks, max_out=max_out,
+        )
+        if bool(np.asarray(bad).any()):
+            if engine == "turbo":
+                which = int(np.flatnonzero(np.asarray(bad))[0])
+                raise ValueError(f"region {which} failed to decode on device")
+            tk = None  # fall back to the exact lockstep engine
+    if tk is None:
+        # step budget: one output byte per literal plus per-block header slack
+        max_steps = max_out + 2 + 512 * max(1, max(len(b) for b in bodies) // 4096)
+        tk, ta, tb, _nsteps, _produced, bad = DI.decode_regions(
+            cj, sbj, ebj, tgj, max_steps=max_steps, max_out=max_out,
+        )
+        if bool(np.asarray(bad).any()):
+            which = int(np.flatnonzero(np.asarray(bad))[0])
+            raise ValueError(f"region {which} failed to decode on device")
     vals, totals = DI.resolve_tokens(
-        jnp.asarray(comp), tk, ta, tb, jnp.asarray(wins),
+        cj, tk, ta, tb, jnp.asarray(wins),
         out_size=max_out, wlen=wlen,
     )
     vals_np = np.asarray(vals)
-    return [vals_np[i, : int(out_sizes[i])].tobytes() for i in range(B)]
+    return [vals_np[i, : int(out_sizes[i])].tobytes() for i in range(n_real)]
 
 
 def decompress_foreign(data: bytes, span: int = 1 << 20) -> bytes:
@@ -452,9 +498,13 @@ def decompress_foreign(data: bytes, span: int = 1 << 20) -> bytes:
         for p in index.points
     ]
     ends = [c[1] for c in cuts[1:]] + [index.total_out]
+    end_bits = [c[0] for c in cuts[1:]] + [len(data) * 8]
     bodies, starts, targets, windows = [], [], [], []
-    for (bitpos, out_off, window), eout in zip(cuts, ends):
-        bodies.append(data[bitpos >> 3 :])
+    for (bitpos, out_off, window), eout, ebit in zip(cuts, ends, end_bits):
+        # region k's bits end at cut k+1 (its last symbol finishes exactly
+        # there), so truncate the body — keeps the device position universe
+        # proportional to the span instead of the whole remaining stream
+        bodies.append(data[bitpos >> 3 : ((ebit + 7) >> 3) + 8])
         starts.append(bitpos & 7)
         targets.append(eout - out_off)
         windows.append(window)
