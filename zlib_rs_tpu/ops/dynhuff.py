@@ -184,18 +184,22 @@ def encode_chunk_dynamic(padded_u8, n_valid, *, chain_depth=4, max_words=16, laz
     )
 
     live = tokens
-    # bincount via sort + vectorized binary search (TPU scatters serialize;
-    # sorts and gathers are fast)
-    ll_sorted = jnp.sort(jnp.where(live, ll_sym, 1 << 20))
-    edges = jnp.arange(287, dtype=jnp.int32)
-    bounds = jnp.searchsorted(ll_sorted, edges, side="left", method="scan")
-    ll_freq = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
+    # bincount by direct compare-and-reduce: bins are tiny (286/30), so
+    # hist[s] = sum(sym == s) is a fused VPU stream over the chunk — no
+    # sorts, no scatters, no gathers (a 2M-element device sort measured
+    # ~0.4s; this is ~1ms)
+    ll_masked = jnp.where(live, ll_sym, -1)
+    ll_freq = jnp.sum(
+        (ll_masked[:, None] == jnp.arange(286, dtype=jnp.int32)[None, :]),
+        axis=0, dtype=jnp.int32,
+    )
     ll_freq = ll_freq.at[256].add(1)  # EOB
     d_live = live & (d_sym >= 0)
-    d_sorted = jnp.sort(jnp.where(d_live, d_sym, 1 << 20))
-    d_edges = jnp.arange(31, dtype=jnp.int32)
-    d_bounds = jnp.searchsorted(d_sorted, d_edges, side="left", method="scan")
-    d_freq = (d_bounds[1:] - d_bounds[:-1]).astype(jnp.int32)
+    d_masked = jnp.where(d_live, d_sym, -1)
+    d_freq = jnp.sum(
+        (d_masked[:, None] == jnp.arange(30, dtype=jnp.int32)[None, :]),
+        axis=0, dtype=jnp.int32,
+    )
 
     ll_lens = code_lengths_kraft(ll_freq)
     d_lens = code_lengths_kraft(d_freq)

@@ -83,6 +83,19 @@ def _prev_occurrence(h: jnp.ndarray) -> jnp.ndarray:
     return prev
 
 
+def _gather_rows(arr: jnp.ndarray, starts: jnp.ndarray, width: int) -> jnp.ndarray:
+    """rows[i, s] = arr[starts[i] + s] as `width` SEPARATE per-element
+    gathers.
+
+    Measured on v5e: XLA TPU gather cost is per gathered ELEMENT (~7-12ns),
+    and `lax.gather` with slice_sizes > 1 lowers to a pathological serial
+    dynamic-slice while-loop (2µs/row!) — so wide "row gathers" must be
+    spelled as width separate element gathers, which vectorize."""
+    nmax = arr.shape[0] - 1
+    cols = [arr[jnp.minimum(starts + s, nmax)] for s in range(width)]
+    return jnp.stack(cols, axis=1)
+
+
 def _run_match_lengths(padded_u8: jnp.ndarray, n: int, n_valid, valid_from=0) -> jnp.ndarray:
     """Exact dist-1 match length at every position: number of j >= i with
     data[j] == data[j-1], capped at MAX_MATCH. Handles long runs that the
@@ -99,16 +112,26 @@ def _run_match_lengths(padded_u8: jnp.ndarray, n: int, n_valid, valid_from=0) ->
 
 
 def _candidate_match_len(
-    words: jnp.ndarray, idx: jnp.ndarray, cand: jnp.ndarray, maxcap: jnp.ndarray, max_words: int
+    words: jnp.ndarray,
+    idx: jnp.ndarray,
+    cand: jnp.ndarray,
+    maxcap: jnp.ndarray,
+    max_words: int,
+    skip_words: int = 0,
 ) -> jnp.ndarray:
     """Match length between positions idx and cand (cand < idx), word scan of
-    up to `max_words` u32 steps + XOR byte tail, capped by `maxcap`."""
+    up to `max_words` u32 steps + XOR byte tail, capped by `maxcap`.
+
+    The current side needs no gather at all — `words[idx + 4s]` with
+    idx = arange is a shifted slice; only the candidate side gathers (one
+    element per word step). `skip_words` words are assumed already equal
+    (pre-checked by a cheap filter pass)."""
     n = idx.shape[0]
     safe_c = jnp.maximum(cand, 0)
     cum = jnp.ones((n,), bool)
-    nwords = jnp.zeros((n,), jnp.int32)
-    for s in range(max_words):
-        a = words[idx + 4 * s]
+    nwords = jnp.full((n,), skip_words, jnp.int32)
+    for s in range(skip_words, max_words):
+        a = lax.dynamic_slice_in_dim(words, 4 * s, n)
         b = words[safe_c + 4 * s]
         cum = cum & (a == b)
         nwords = nwords + cum.astype(jnp.int32)
@@ -153,19 +176,79 @@ def find_matches(
 
     maxcap = jnp.clip(n_valid - idx, 0, MAX_MATCH).astype(jnp.int32)
 
+    # Two-phase scan (the TPU form of longest_match's early rejection,
+    # longest_match.rs:38-51): phase A walks the chain probing only TWO
+    # words per candidate — which yields the EXACT length whenever it is
+    # < 8 (the XOR tail of the first mismatching probe) — and remembers
+    # the first `deep` candidates whose 8-byte prefix matches. Phase B
+    # word-scans only those. Cuts gathered elements per position ~3x at
+    # chain_depth 8 with a tiny match-quality loss (a 3rd+ candidate
+    # sharing an 8-byte prefix could be longer).
+    deep = 2 if chain_depth <= 4 else 3 if chain_depth <= 8 else 4
+    a0 = lax.dynamic_slice_in_dim(words, 0, n)
+    a1 = lax.dynamic_slice_in_dim(words, 4, n)
+
+    def tail_len(x):
+        lowbit = x & (-x).astype(jnp.uint32)
+        tz = jnp.where(x == 0, 32, 31 - lax.clz(lowbit.astype(jnp.int32)))
+        return jnp.minimum(tz >> 3, 3).astype(jnp.int32)
+
     best_len = jnp.zeros((n,), jnp.int32)
     best_dist = jnp.zeros((n,), jnp.int32)
+    deep_cand = [jnp.full((n,), -1, jnp.int32) for _ in range(deep)]
+    deep_have = jnp.zeros((n,), jnp.int32)
     cand = prev
     for _ in range(chain_depth):
         dist = idx - cand
         ok = (cand >= 0) & (dist >= 1) & (dist <= MAX_DIST)
-        ml = _candidate_match_len(words, idx, cand, maxcap, max_words)
-        ml = jnp.where(ok, ml, 0)
+        safe_c = jnp.maximum(cand, 0)
+        w0 = words[safe_c]
+        w1 = words[safe_c + 4]
+        x0 = w0 ^ a0
+        x1 = w1 ^ a1
+        short = jnp.where(x0 == 0, 4 + tail_len(x1), tail_len(x0))
+        is_deep = ok & (x0 == 0) & (x1 == 0)
+        ml = jnp.where(ok & ~is_deep, jnp.minimum(short, maxcap), 0)
         better = ml > best_len
         best_len = jnp.where(better, ml, best_len)
         best_dist = jnp.where(better, dist, best_dist)
-        cand = prev[jnp.maximum(cand, 0)]
+        for d in range(deep):
+            take = is_deep & (deep_have == d)
+            deep_cand[d] = jnp.where(take, cand, deep_cand[d])
+        deep_have = deep_have + is_deep.astype(jnp.int32)
+        cand = prev[safe_c]
         cand = jnp.where(ok, cand, -1)
+
+    # staged deep scan: rank the deep candidates on words 2..9 (exact up to
+    # 40 bytes), then extend only the winner to max_words. A runner-up tied
+    # with the winner through byte 40 but longer after is the one case this
+    # diverges from a full per-candidate scan (recency/smallest-dist wins).
+    stage_words = min(10, max_words)
+    stage_cap = jnp.minimum(maxcap, 4 * stage_words)
+    bd_len = jnp.zeros((n,), jnp.int32)
+    bd_cand = jnp.full((n,), -1, jnp.int32)
+    bd_dist = jnp.zeros((n,), jnp.int32)
+    for d in range(deep):
+        dc = deep_cand[d]
+        ok = dc >= 0
+        ml = _candidate_match_len(words, idx, dc, stage_cap, stage_words, skip_words=2)
+        ml = jnp.where(ok, ml, 0)
+        better = ml > bd_len  # first (most recent) candidate wins ties
+        bd_len = jnp.where(better, ml, bd_len)
+        bd_cand = jnp.where(better, dc, bd_cand)
+        bd_dist = jnp.where(better, idx - dc, bd_dist)
+    if max_words > stage_words:
+        ext = _candidate_match_len(
+            words, idx, jnp.maximum(bd_cand, 0), maxcap, max_words,
+            skip_words=stage_words,
+        )
+        hit_cap = (bd_cand >= 0) & (bd_len >= 4 * stage_words)
+        bd_len = jnp.where(hit_cap, ext, bd_len)
+    better = (bd_len > best_len) | (
+        (bd_len == best_len) & (bd_len > 0) & (bd_cand >= 0) & (bd_dist < best_dist)
+    )
+    best_len = jnp.where(better, bd_len, best_len)
+    best_dist = jnp.where(better, bd_dist, best_dist)
 
     # exact run matches (dist 1) rescue long runs from the word cap
     run_len = _run_match_lengths(padded_u8, n, n_valid, valid_from)
@@ -315,27 +398,79 @@ def token_codes_static(
     return value, nbits.astype(jnp.int32)
 
 
-def pack_bits(value: jnp.ndarray, nbits: jnp.ndarray, header_bits: int, out_words: int):
-    """Gather-only bit packing of (value, nbits) tokens into u32 words.
+def pack_bits(
+    value: jnp.ndarray,
+    nbits: jnp.ndarray,
+    header_bits: int,
+    out_words: int,
+    *,
+    min_token_bits: int = 1,
+):
+    """Bit packing of (value, nbits) tokens into u32 words, per-WORD driven.
 
-    TPU scatters serialize on colliding indices, so this is OUTPUT-driven:
-    every output bit finds its source token with a vectorized binary search
-    over the exclusive-prefix-sum bit offsets, gathers the token value, and
-    extracts its bit; a 32-lane weighted reduction packs bits to words.
+    TPU scatters serialize on colliding indices, so packing stays
+    output-driven — but per output word, not per output bit (the per-bit
+    binary search was 8.2s/2MiB on chip; this is ~30x fewer gather indices):
+
+      1. compact live tokens to the front (stable argsort of the dead flag),
+         so consecutive tokens sit in consecutive slots;
+      2. every output word binary-searches the compacted start-bit offsets
+         once for its first covering token;
+      3. ONE row gather pulls the ≤ K = 32/min_token_bits + 2 consecutive
+         (value, nbits) pairs that can touch the word, and a width-K
+         shift/OR reduction assembles the word.
+
+    `min_token_bits` is the caller's guarantee on the smallest live token
+    (1 for dynamic-tree tokens, 7 for static); it bounds K.
     Returns (words u32[out_words], total_bits incl. header).
     """
-    off = header_bits + jnp.cumsum(nbits) - nbits  # token start bit
+    tcap = value.shape[0]
+    live = nbits > 0
     total = header_bits + jnp.sum(nbits)
-    nbits_total = out_words * 32
-    b = jnp.arange(nbits_total, dtype=jnp.int32)
-    t = jnp.searchsorted(off, b, side="right", method="scan") - 1
-    t = jnp.clip(t, 0, off.shape[0] - 1)
-    bitpos = b - off[t]
-    bit = (value.astype(jnp.uint32)[t] >> jnp.minimum(bitpos, 31).astype(jnp.uint32)) & 1
-    bit = jnp.where((bitpos >= 0) & (bitpos < nbits[t]), bit, 0)
-    lanes = bit.reshape(out_words, 32)
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
-    words = jnp.sum(lanes * weights, axis=1, dtype=jnp.uint32)
+    order = jnp.argsort(jnp.where(live, 0, 1).astype(jnp.int8), stable=True)
+    lv = live[order]
+    cval = jnp.where(lv, value[order], 0).astype(jnp.uint32)
+    cnb = jnp.where(lv, nbits[order], 0).astype(jnp.int32)
+    off = header_bits + jnp.cumsum(cnb) - cnb
+    off = jnp.where(cnb > 0, off, jnp.int32(1 << 30))  # dead tail: +inf
+    k = 32 // max(min_token_bits, 1) + 2
+    cval = jnp.concatenate([cval, jnp.zeros((k,), jnp.uint32)])
+    cnb = jnp.concatenate([cnb, jnp.zeros((k,), jnp.int32)])
+    base = jnp.arange(out_words, dtype=jnp.int32) * 32
+    # first covering token per word WITHOUT a binary search: compacted
+    # offsets are contiguous, so count(off < 32w) is an exclusive prefix
+    # sum over a histogram of start words — and the 64K-bin histogram is
+    # a two-level one-hot int8 matmul on the MXU (a 19-round searchsorted
+    # over these shapes measured 0.39s/round on chip; this is ~1ms of
+    # matmul). first = that count minus one (the last token starting
+    # before the word, which by contiguity reaches into it).
+    sw = jnp.where(cnb[:tcap] > 0, off >> 5, jnp.int32(1 << 25))
+    hh = -(-out_words // 256) + 1  # +1 spill row for dead/off-the-end
+    swc = jnp.clip(sw, 0, hh * 256 - 1)
+    hi_oh = (swc[:, None] >> 8 == jnp.arange(hh, dtype=jnp.int32)[None, :]).astype(
+        jnp.int8
+    )
+    lo_oh = ((swc[:, None] & 255) == jnp.arange(256, dtype=jnp.int32)[None, :]).astype(
+        jnp.int8
+    )
+    hist2 = lax.dot_general(
+        hi_oh, lo_oh, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [hh, 256]
+    counts = hist2.reshape(-1)[:out_words]
+    f_excl = jnp.cumsum(counts) - counts  # count(off < 32w)
+    first = jnp.clip(f_excl - 1, 0, tcap - 1)
+    vrow = _gather_rows(cval, first, k)  # [W, k]
+    nrow = _gather_rows(cnb, first, k)
+    start0 = jnp.where(off[first] == (1 << 30), total, off[first])
+    rel = start0 - base  # first token's bit position within this word
+    starts = rel[:, None] + (jnp.cumsum(nrow, axis=1) - nrow)
+    ok = (starts > -32) & (starts < 32) & (nrow > 0)
+    shp = jnp.clip(starts, 0, 31).astype(jnp.uint32)
+    shn = jnp.clip(-starts, 0, 31).astype(jnp.uint32)
+    contrib = jnp.where(starts >= 0, vrow << shp, vrow >> shn)
+    contrib = jnp.where(ok, contrib, jnp.uint32(0))
+    words = functools.reduce(jnp.bitwise_or, [contrib[:, j] for j in range(k)])
     return words, total
 
 
@@ -362,7 +497,8 @@ def encode_chunk_static(padded_u8: jnp.ndarray, n_valid, final, *, chain_depth=4
     out_words = (9 * n + 64) // 32 + 2
     final_u32 = jnp.asarray(final, jnp.uint32)
     header = final_u32 | jnp.uint32(2)  # BFINAL | (BTYPE=01)<<1, LSB-first
-    words, total = pack_bits(value, nbits, 3, out_words)
+    # static-tree live tokens are >= 7 bits (literal codes 7-9, matches more)
+    words, total = pack_bits(value, nbits, 3, out_words, min_token_bits=7)
     words = words.at[0].add(header)
     total = total + 7  # EOB: static code 256 is 7 zero bits
     return words, total

@@ -307,32 +307,42 @@ def decode_regions_turbo(comp, start_bits, end_bits, out_targets,
         def per_lane(words_l, comp_l, ll_l, d_l, start, endb):
             p = jnp.arange(P, dtype=jnp.int32)
 
-            def peek_l(pos, n):
-                byte = pos >> 3
-                sh = (pos & 7).astype(jnp.uint32)
-                wd = words_l[jnp.minimum(byte, L - 1)]
-                ext = comp_l[jnp.minimum(byte + 4, L - 1)].astype(jnp.uint32)
-                v = (wd >> sh) | jnp.where(sh > 0, ext << (jnp.uint32(32) - sh), 0)
-                return v & ((jnp.uint32(1) << n) - 1)
+            # full-position 15-bit peek table with ZERO random access:
+            # the byte index p>>3 over p = arange is an 8x repeat, and the
+            # bit shift p&7 is a tiled ramp — both plain data movement.
+            # Dynamic-position peeks then cost ONE gather from peek15
+            # instead of two from words/comp (halves the per-bit gather
+            # count; gathers at ~10ns/index dominate this kernel).
+            ext_b = jnp.concatenate(
+                [comp_l[4:], jnp.zeros((4,), comp_l.dtype)]
+            ).astype(jnp.uint32)
+            sh_all = jnp.tile(jnp.arange(8, dtype=jnp.uint32), L)
+            v_all = (jnp.repeat(words_l, 8) >> sh_all) | jnp.where(
+                sh_all > 0, jnp.repeat(ext_b, 8) << (jnp.uint32(32) - sh_all), 0
+            )
+            peek15 = v_all & jnp.uint32((1 << FLAT_BITS) - 1)
 
-            code = peek_l(p, jnp.uint32(FLAT_BITS))
+            def peek_at(pos, n):
+                return peek15[jnp.clip(pos, 0, P - 1)] & ((jnp.uint32(1) << n) - 1)
+
+            code = peek15
             e = ll_l[code.astype(jnp.int32)]
             kind = (e >> 28).astype(jnp.int32)
             aux = ((e >> 22) & 0x3F).astype(jnp.int32)
             nb = ((e >> 16) & 0x3F).astype(jnp.int32)
             payload = (e & 0xFFFF).astype(jnp.int32)
             p1 = p + nb
-            extra = peek_l(p1, jnp.uint32(13)).astype(jnp.int32) & ((1 << aux) - 1)
+            extra = peek_at(p1, jnp.uint32(13)).astype(jnp.int32) & ((1 << aux) - 1)
             length = payload + extra
             p2 = p1 + aux
-            dcode = peek_l(p2, jnp.uint32(FLAT_BITS))
+            dcode = peek_at(p2, jnp.uint32(FLAT_BITS))
             de = d_l[dcode.astype(jnp.int32)]
             dkind = (de >> 28).astype(jnp.int32)
             daux = ((de >> 22) & 0x3F).astype(jnp.int32)
             dnb = ((de >> 16) & 0x3F).astype(jnp.int32)
             dpayload = (de & 0xFFFF).astype(jnp.int32)
             p3 = p2 + dnb
-            dextra = peek_l(p3, jnp.uint32(13)).astype(jnp.int32) & ((1 << daux) - 1)
+            dextra = peek_at(p3, jnp.uint32(13)).astype(jnp.int32) & ((1 << daux) - 1)
             dist = dpayload + dextra
             p4 = p3 + daux
 
