@@ -161,12 +161,20 @@ def token_symbols(padded_u8, length, dist, tokens):
     return ll_sym, d_sym, e1, eb1, e2, eb2
 
 
-def encode_chunk_dynamic(padded_u8, n_valid, *, chain_depth=4, max_words=16, lazy=False, start=0, valid_from=0):
+def encode_chunk_dynamic(padded_u8, n_valid, *, chain_depth=4, max_words=16, lazy=False, start=0, valid_from=0, n_seeds=0):
     """One chunk -> dynamic-Huffman block BODY (symbols + EOB, no header).
 
     Returns (words u32[W], body_bits i32, ll_lens i32[286], d_lens i32[30]).
     The host builds the 5+5+4/HCLEN/RLE header from the length arrays and
     splices it in front (the header is O(100) bits; the body is O(chunk)).
+
+    With n_seeds > 0, also returns (seeds_bit i32[n_seeds],
+    seeds_out i32[n_seeds]): for seed j, the BODY-relative bit offset and
+    chunk-relative output offset of the first token at or after output
+    offset j*(chunk/n_seeds). These are the decode restart points the
+    swarm (walker) device decoder consumes — recorded for free at encode
+    time, where every token's bit offset is already known (the capability
+    rapidgzip must reconstruct by scanning; SURVEY.md §2e seam hooks).
     """
     n = padded_u8.shape[0] - lz77.PAD
     length, dist = lz77.find_matches(
@@ -240,4 +248,24 @@ def encode_chunk_dynamic(padded_u8, n_valid, *, chain_depth=4, max_words=16, laz
 
     out_words = (16 * n + 64) // 32 + 4  # worst case ~15.x bits/byte + EOB
     words, total = lz77.pack_bits(values, nbits, 0, out_words)
-    return words, total, ll_lens, d_lens
+    if not n_seeds:
+        return words, total, ll_lens, d_lens
+
+    # decode seeds: body-relative bit offset of the first token at/after
+    # each output stride. Token at position p covers output byte p-start,
+    # and its body bit offset is the running sum of per-position bit costs.
+    per_pos_bits = n1 + n2  # 0 at non-token positions
+    bit_off = jnp.cumsum(per_pos_bits) - per_pos_bits
+    idx = jnp.arange(n, dtype=jnp.int32)
+    tok_pos = jnp.where(live, idx, n + 1)
+    # next token position at or after every position (reverse cummin)
+    next_tok = jax.lax.cummin(tok_pos[::-1])[::-1]
+    out_len = jnp.maximum(n_valid - start, 0)
+    stride = jnp.maximum(out_len // n_seeds, 1)
+    targets = jnp.clip(start + jnp.arange(n_seeds, dtype=jnp.int32) * stride, 0, n - 1)
+    seed_pos = next_tok[targets]
+    valid = seed_pos <= n  # past-the-end seeds mark empty walkers
+    safe = jnp.clip(seed_pos, 0, n - 1)
+    seeds_bit = jnp.where(valid, bit_off[safe], total)
+    seeds_out = jnp.where(valid, safe - start, out_len)
+    return words, total, ll_lens, d_lens, seeds_bit, seeds_out

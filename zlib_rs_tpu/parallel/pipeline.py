@@ -41,6 +41,15 @@ from ..ops import huffman as H
 DEFAULT_CHUNK = 128 * 1024
 
 
+class ChunkIndex(list):
+    """Chunk index: a plain list of (body_offset, body_len, out_len) tuples
+    (backward compatible with every consumer), optionally carrying per-chunk
+    swarm-decode seeds (`.seeds`: list of (bit_offsets, out_offsets) or None
+    for stored-fallback chunks)."""
+
+    seeds = None
+
+
 def _dyn_header(ll_lens: np.ndarray, d_lens: np.ndarray, final: bool) -> tuple[bytes, int]:
     """Build one dynamic block header (BFINAL/BTYPE/HLIT/HDIST/HCLEN + code
     length RLE) on host from the device-computed length arrays. O(100) bits."""
@@ -120,12 +129,13 @@ def _level_knobs(level: int) -> dict:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "chunk_size", "chain_depth", "max_words", "lazy", "dynamic", "dict_size"
+        "chunk_size", "chain_depth", "max_words", "lazy", "dynamic", "dict_size",
+        "n_seeds",
     ),
 )
 def _encode_batch(
     chunks, n_valid, finals, valid_from=None, *,
-    chunk_size, chain_depth, max_words, lazy, dynamic, dict_size=0,
+    chunk_size, chain_depth, max_words, lazy, dynamic, dict_size=0, n_seeds=0,
 ):
     """vmap'd chunk encoder: uint8[B, dict+chunk+PAD] -> block payloads.
 
@@ -134,18 +144,25 @@ def _encode_batch(
     bytes of previous-chunk context precede each chunk's data (the
     deflateSetDictionary priming hook, SURVEY.md section 2e); `valid_from`
     marks where real context starts when the dictionary is short.
+    With n_seeds > 0 (dynamic, indexed mode) the encoder also returns the
+    per-chunk swarm-decode seeds (see ops/dynhuff + parallel/swarm_inflate).
     """
     if valid_from is None:
         valid_from = jnp.zeros_like(n_valid)
+    seeds_bit = seeds_out = None
     if dynamic:
 
         def one(chunk, nv, vf):
             return dynhuff.encode_chunk_dynamic(
                 chunk, nv, chain_depth=chain_depth, max_words=max_words,
-                lazy=lazy, start=dict_size, valid_from=vf,
+                lazy=lazy, start=dict_size, valid_from=vf, n_seeds=n_seeds,
             )
 
-        words, bits, ll_lens, d_lens = jax.vmap(one)(chunks, n_valid, valid_from)
+        res = jax.vmap(one)(chunks, n_valid, valid_from)
+        if n_seeds:
+            words, bits, ll_lens, d_lens, seeds_bit, seeds_out = res
+        else:
+            words, bits, ll_lens, d_lens = res
     else:
 
         def one_s(chunk, nv, fin, vf):
@@ -156,7 +173,7 @@ def _encode_batch(
 
         words, bits = jax.vmap(one_s)(chunks, n_valid, finals, valid_from)
         ll_lens = d_lens = None
-    return words, bits, ll_lens, d_lens
+    return words, bits, ll_lens, d_lens, seeds_bit, seeds_out
 
 
 @jax.jit
@@ -287,15 +304,17 @@ def _stored_blocks(data: bytes, final: bool) -> bytes:
             return bytes(out)
 
 
-def _assemble(payloads, chunks_raw, n_chunks: int) -> bytearray:
+def _assemble(payloads, chunks_raw, n_chunks: int):
     """Stitch per-chunk block payloads [(bytes, total_bits)]: byte-align every
     non-final chunk with an empty stored block (the 00 00 FF FF sync seam);
     the final chunk already carries BFINAL, so it is only zero-padded to a
     byte boundary. Chunks whose coded block is larger than raw+overhead are
     re-emitted as stored blocks instead (cost rule of zng_tr_flush_block,
-    deflate.rs:2367-2402)."""
+    deflate.rs:2367-2402). Also returns per-chunk stored flags (stored
+    chunks carry no swarm-decode seeds)."""
     out = bytearray()
     index = []
+    stored_flags = []
     for k in range(n_chunks):
         payload, total_bits = payloads[k]
         raw_chunk = chunks_raw[k]
@@ -305,6 +324,7 @@ def _assemble(payloads, chunks_raw, n_chunks: int) -> bytearray:
         if (total_bits + 7) // 8 > stored_cost and len(raw_chunk):
             out.extend(_stored_blocks(raw_chunk, final))
             index.append((start, len(out) - start, len(raw_chunk)))
+            stored_flags.append(True)
             continue  # stored blocks end byte-aligned: no seam needed
         out.extend(payload)
         if not final:
@@ -315,7 +335,8 @@ def _assemble(payloads, chunks_raw, n_chunks: int) -> bytearray:
                 out.append(0)  # the 3 header bits need a fresh byte
             out.extend(b"\x00\x00\xff\xff")
         index.append((start, len(out) - start, len(raw_chunk)))
-    return out, index
+        stored_flags.append(False)
+    return out, index, stored_flags
 
 
 def compress_parallel(
@@ -370,6 +391,10 @@ def compress_parallel(
 
     knobs = _level_knobs(level)
     dynamic = level >= 3
+    # indexed dynamic chunks carry swarm-decode seeds (free at encode time)
+    from .swarm_inflate import SEEDS_PER_CHUNK
+
+    n_seeds = SEEDS_PER_CHUNK if (return_index and dynamic) else 0
 
     # process in fixed-size sub-batches: one compile, bounded device memory
     # (the pack stage materializes ~50 MB of bit-level intermediates per
@@ -391,6 +416,7 @@ def compress_parallel(
 
     parts_words, parts_bits, parts_adler = [], [], []
     parts_ll, parts_d = [], []
+    parts_sbit, parts_sout = [], []
     for b0 in range(0, n_chunks, batch):
         sl = slice(b0, b0 + batch)
         if mesh is not None:
@@ -402,9 +428,10 @@ def compress_parallel(
             dn = jnp.asarray(n_valid_dev[sl])
             df = jnp.asarray(finals_dev[sl])
             dv = jnp.asarray(valid_from_dev[sl])
-        words, bits, ll_lens, d_lens = _encode_batch(
+        words, bits, ll_lens, d_lens, sbit, sout = _encode_batch(
             dc, dn, df, dv,
-            chunk_size=chunk_size, dynamic=dynamic, dict_size=dict_size, **knobs
+            chunk_size=chunk_size, dynamic=dynamic, dict_size=dict_size,
+            n_seeds=n_seeds, **knobs
         )
         adlers = _adler_batch_best(
             dc[:, dict_size : dict_size + chunk_size], dn - dict_size
@@ -415,6 +442,9 @@ def compress_parallel(
         if dynamic:
             parts_ll.append(ll_lens)
             parts_d.append(d_lens)
+        if n_seeds:
+            parts_sbit.append(sbit)
+            parts_sout.append(sout)
     words_np = np.ascontiguousarray(
         np.concatenate([np.asarray(w) for w in parts_words])
     )[:n_chunks]
@@ -423,6 +453,9 @@ def compress_parallel(
     if dynamic:
         ll_all = np.concatenate([np.asarray(x) for x in parts_ll])[:n_chunks]
         d_all = np.concatenate([np.asarray(x) for x in parts_d])[:n_chunks]
+    if n_seeds:
+        sbit_all = np.concatenate([np.asarray(x) for x in parts_sbit])[:n_chunks]
+        sout_all = np.concatenate([np.asarray(x) for x in parts_sout])[:n_chunks]
 
     payloads = []
     if dynamic:
@@ -442,7 +475,7 @@ def compress_parallel(
     chunks_raw = [
         data[k * chunk_size : k * chunk_size + int(data_len[k])] for k in range(n_chunks)
     ]
-    body, index = _assemble(payloads, chunks_raw, n_chunks)
+    body, index, stored_flags = _assemble(payloads, chunks_raw, n_chunks)
 
     out = bytearray()
     if wrap == Wrap.Zlib:
@@ -481,7 +514,16 @@ def compress_parallel(
         hdr_len = len(out) - len(body) - (
             4 if wrap == Wrap.Zlib else 8 if wrap == Wrap.Gzip else 0
         )
-        abs_index = [(hdr_len + off, ln, out_len) for off, ln, out_len in index]
+        abs_index = ChunkIndex(
+            (hdr_len + off, ln, out_len) for off, ln, out_len in index
+        )
+        if n_seeds:
+            # seeds for coded chunks only; stored-fallback chunks decode by
+            # memcpy and carry None
+            abs_index.seeds = [
+                None if stored_flags[k] else (sbit_all[k].tolist(), sout_all[k].tolist())
+                for k in range(n_chunks)
+            ]
         return bytes(out), abs_index
     return bytes(out)
 
@@ -490,14 +532,31 @@ def decompress_parallel(data: bytes, index, engine: str = "auto") -> bytes:
     """Decode a stream produced by compress_parallel using its chunk index:
     every chunk body decodes independently — threaded in the C++ engine
     ("native", the default when available) or batched on device ("tpu") —
-    outputs concatenate in order and the container checksum is verified."""
+    outputs concatenate in order and the container checksum is verified.
+
+    With engine="tpu" and an index carrying swarm seeds (ChunkIndex.seeds,
+    recorded by compress_parallel for indexed dynamic chunks), decode runs
+    the seed-parallel walker engine (parallel/swarm_inflate) — exact
+    restart points every few KiB, no speculation; any drift falls back to
+    the exact lockstep engine."""
     from . import inflate as pinf
     from ..models import oneshot
 
     if index is None:
         return oneshot.decompress(data)
     result = None
-    if engine in ("auto", "native"):
+    seeds = getattr(index, "seeds", None)
+    if engine == "tpu" and seeds is not None and all(s is not None for s in seeds):
+        from . import swarm_inflate
+
+        bodies = [data[off : off + ln] for off, ln, _ in index]
+        out_sizes = [out_len for _, _, out_len in index]
+        try:
+            parts = swarm_inflate.decode_chunks_seeded(bodies, out_sizes, seeds)
+            result = b"".join(parts)
+        except ValueError:
+            result = None  # drift/shape mismatch: exact engines below
+    if result is None and engine in ("auto", "native"):
         from .. import native
 
         if native.available():
