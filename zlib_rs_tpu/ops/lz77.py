@@ -68,21 +68,6 @@ def hash4(words: jnp.ndarray) -> jnp.ndarray:
     return ((words * HASH_MULT) >> jnp.uint32(32 - HASH_BITS)).astype(jnp.int32)
 
 
-def _prev_occurrence(h: jnp.ndarray) -> jnp.ndarray:
-    """prev[i] = largest j < i with h[j] == h[i], else -1.
-
-    Stable argsort groups equal hashes in position order; the left neighbor
-    within a group is exactly the hash-chain predecessor.
-    """
-    n = h.shape[0]
-    order = jnp.argsort(h, stable=True)  # positions, grouped by hash
-    sh = h[order]
-    same = jnp.concatenate([jnp.zeros((1,), bool), sh[1:] == sh[:-1]])
-    prev_sorted = jnp.where(same, jnp.concatenate([order[:1], order[:-1]]), -1)
-    prev = jnp.zeros((n,), jnp.int32).at[order].set(prev_sorted.astype(jnp.int32))
-    return prev
-
-
 def _gather_rows(arr: jnp.ndarray, starts: jnp.ndarray, width: int) -> jnp.ndarray:
     """rows[i, s] = arr[starts[i] + s] as `width` SEPARATE per-element
     gathers.
@@ -172,83 +157,76 @@ def find_matches(
     # positions outside [valid_from, n_valid) get sentinel hashes so they
     # never pollute chains or become match candidates
     h = jnp.where((idx >= valid_from) & (idx < n_valid), h, (1 << HASH_BITS) + (idx & 0xFF))
-    prev = _prev_occurrence(h)
 
     maxcap = jnp.clip(n_valid - idx, 0, MAX_MATCH).astype(jnp.int32)
 
-    # Two-phase scan (the TPU form of longest_match's early rejection,
-    # longest_match.rs:38-51): phase A walks the chain probing only TWO
-    # words per candidate — which yields the EXACT length whenever it is
-    # < 8 (the XOR tail of the first mismatching probe) — and remembers
-    # the first `deep` candidates whose 8-byte prefix matches. Phase B
-    # word-scans only those. Cuts gathered elements per position ~3x at
-    # chain_depth 8 with a tiny match-quality loss (a 3rd+ candidate
-    # sharing an 8-byte prefix could be longer).
-    deep = 2 if chain_depth <= 4 else 3 if chain_depth <= 8 else 4
-    a0 = lax.dynamic_slice_in_dim(words, 0, n)
-    a1 = lax.dynamic_slice_in_dim(words, 4, n)
+    # SORTED-SPACE scan: in stable (hash, position) order the whole hash
+    # chain of a position is its k = 1..chain_depth sorted predecessors
+    # (longest_match.rs's walk, flattened). Pre-gathering the first
+    # `stage_words`+1 candidate probe words INTO sorted order makes every
+    # candidate comparison a shifted vector op — zero gathers per
+    # candidate — so the gathered-element count per position drops from
+    # O(chain_depth * words) to O(stage_words): ~11 for the probe columns,
+    # 2 for the winner's byte tail, 3 to un-sort the result, plus the
+    # winner-only extension scan. Candidates are ranked at word
+    # granularity (ties -> most recent = smallest dist); the exact XOR
+    # byte tail is added for the winner only.
+    stage_words = min(10, max_words)
+    order = jnp.argsort(h, stable=True).astype(jnp.int32)
+    sh = h[order]
+    po = order
+    rank = (
+        jnp.zeros((n,), jnp.int32)
+        .at[order]
+        .set(jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+    )
+    ws = jnp.stack(
+        [words[po + 4 * s] for s in range(stage_words + 1)]
+    )  # [stage_words+1, n] candidate probes in sorted order
+    maxcap_s = maxcap[po]
+    capw_s = jnp.minimum(maxcap_s, 4 * stage_words)
 
     def tail_len(x):
         lowbit = x & (-x).astype(jnp.uint32)
         tz = jnp.where(x == 0, 32, 31 - lax.clz(lowbit.astype(jnp.int32)))
         return jnp.minimum(tz >> 3, 3).astype(jnp.int32)
 
-    best_len = jnp.zeros((n,), jnp.int32)
-    best_dist = jnp.zeros((n,), jnp.int32)
-    deep_cand = [jnp.full((n,), -1, jnp.int32) for _ in range(deep)]
-    deep_have = jnp.zeros((n,), jnp.int32)
-    cand = prev
-    for _ in range(chain_depth):
-        dist = idx - cand
-        ok = (cand >= 0) & (dist >= 1) & (dist <= MAX_DIST)
-        safe_c = jnp.maximum(cand, 0)
-        w0 = words[safe_c]
-        w1 = words[safe_c + 4]
-        x0 = w0 ^ a0
-        x1 = w1 ^ a1
-        short = jnp.where(x0 == 0, 4 + tail_len(x1), tail_len(x0))
-        is_deep = ok & (x0 == 0) & (x1 == 0)
-        ml = jnp.where(ok & ~is_deep, jnp.minimum(short, maxcap), 0)
-        better = ml > best_len
-        best_len = jnp.where(better, ml, best_len)
-        best_dist = jnp.where(better, dist, best_dist)
-        for d in range(deep):
-            take = is_deep & (deep_have == d)
-            deep_cand[d] = jnp.where(take, cand, deep_cand[d])
-        deep_have = deep_have + is_deep.astype(jnp.int32)
-        cand = prev[safe_c]
-        cand = jnp.where(ok, cand, -1)
+    len_s = jnp.zeros((n,), jnp.int32)  # best exact length per sorted slot
+    bs_dist = jnp.zeros((n,), jnp.int32)
+    for k in range(1, chain_depth + 1):
+        sh_k = jnp.concatenate([jnp.full((k,), -1, jnp.int32), sh[:-k]])
+        po_k = jnp.concatenate([jnp.full((k,), -1, jnp.int32), po[:-k]])
+        dist = po - po_k
+        ok = (sh_k == sh) & (po_k >= 0) & (dist >= 1) & (dist <= MAX_DIST)
+        cum = ok
+        nw = jnp.zeros((n,), jnp.int32)
+        tail = jnp.zeros((n,), jnp.int32)
+        for s in range(stage_words):
+            ws_k = jnp.concatenate([jnp.zeros((k,), jnp.uint32), ws[s, :-k]])
+            eq = ws_k == ws[s]
+            # exact byte tail captured at the break step — no gathers
+            brk = cum & ~eq
+            tail = jnp.where(brk, tail_len(ws_k ^ ws[s]), tail)
+            cum = cum & eq
+            nw = nw + cum.astype(jnp.int32)
+        ml = jnp.where(ok, jnp.minimum(4 * nw + tail, capw_s), 0)
+        better = ml > len_s  # strict: earlier k (more recent) wins ties
+        len_s = jnp.where(better, ml, len_s)
+        bs_dist = jnp.where(better, dist, bs_dist)
 
-    # staged deep scan: rank the deep candidates on words 2..9 (exact up to
-    # 40 bytes), then extend only the winner to max_words. A runner-up tied
-    # with the winner through byte 40 but longer after is the one case this
-    # diverges from a full per-candidate scan (recency/smallest-dist wins).
-    stage_words = min(10, max_words)
-    stage_cap = jnp.minimum(maxcap, 4 * stage_words)
-    bd_len = jnp.zeros((n,), jnp.int32)
-    bd_cand = jnp.full((n,), -1, jnp.int32)
-    bd_dist = jnp.zeros((n,), jnp.int32)
-    for d in range(deep):
-        dc = deep_cand[d]
-        ok = dc >= 0
-        ml = _candidate_match_len(words, idx, dc, stage_cap, stage_words, skip_words=2)
-        ml = jnp.where(ok, ml, 0)
-        better = ml > bd_len  # first (most recent) candidate wins ties
-        bd_len = jnp.where(better, ml, bd_len)
-        bd_cand = jnp.where(better, dc, bd_cand)
-        bd_dist = jnp.where(better, idx - dc, bd_dist)
+    # un-sort to position order
+    best_len = len_s[rank]
+    best_dist = jnp.where(best_len > 0, bs_dist[rank], 0)
+    win_cand = jnp.where(best_len > 0, idx - best_dist, -1)
+
+    # extend only the winner past the staged window
     if max_words > stage_words:
         ext = _candidate_match_len(
-            words, idx, jnp.maximum(bd_cand, 0), maxcap, max_words,
+            words, idx, jnp.maximum(win_cand, 0), maxcap, max_words,
             skip_words=stage_words,
         )
-        hit_cap = (bd_cand >= 0) & (bd_len >= 4 * stage_words)
-        bd_len = jnp.where(hit_cap, ext, bd_len)
-    better = (bd_len > best_len) | (
-        (bd_len == best_len) & (bd_len > 0) & (bd_cand >= 0) & (bd_dist < best_dist)
-    )
-    best_len = jnp.where(better, bd_len, best_len)
-    best_dist = jnp.where(better, bd_dist, best_dist)
+        hit_cap = (win_cand >= 0) & (best_len >= 4 * stage_words)
+        best_len = jnp.where(hit_cap, ext, best_len)
 
     # exact run matches (dist 1) rescue long runs from the word cap
     run_len = _run_match_lengths(padded_u8, n, n_valid, valid_from)
@@ -406,22 +384,23 @@ def pack_bits(
     *,
     min_token_bits: int = 1,
 ):
-    """Bit packing of (value, nbits) tokens into u32 words, per-WORD driven.
+    """Bit packing of (value, nbits) tokens into u32 words, scan-based.
 
-    TPU scatters serialize on colliding indices, so packing stays
-    output-driven — but per output word, not per output bit (the per-bit
-    binary search was 8.2s/2MiB on chip; this is ~30x fewer gather indices):
+    TPU scatters serialize on colliding indices and gathers cost ~10ns per
+    ELEMENT (the per-bit binary-search packer measured 8.2s per 2MiB batch
+    on chip), so this version does almost no random access at all:
 
-      1. compact live tokens to the front (stable argsort of the dead flag),
-         so consecutive tokens sit in consecutive slots;
-      2. every output word binary-searches the compacted start-bit offsets
-         once for its first covering token;
-      3. ONE row gather pulls the ≤ K = 32/min_token_bits + 2 consecutive
-         (value, nbits) pairs that can touch the word, and a width-K
-         shift/OR reduction assembles the word.
+      1. compact live tokens to the front (stable argsort of the dead
+         flag) — compacted start offsets are then sorted and contiguous;
+      2. each <=32-bit token touches exactly two words: `lo` bits into its
+         start word sw, `hi` spill into sw+1. Per-word values are
+         segmented ORs over runs of equal sw — two log-depth
+         `associative_scan`s, zero gathers;
+      3. the tokens-per-word histogram (for locating each word's segment
+         end) is a two-level one-hot int8 matmul on the MXU;
+      4. the only gathers left are two elements per OUTPUT word.
 
-    `min_token_bits` is the caller's guarantee on the smallest live token
-    (1 for dynamic-tree tokens, 7 for static); it bounds K.
+    `min_token_bits` is accepted for API compatibility (no longer needed).
     Returns (words u32[out_words], total_bits incl. header).
     """
     tcap = value.shape[0]
@@ -432,19 +411,31 @@ def pack_bits(
     cval = jnp.where(lv, value[order], 0).astype(jnp.uint32)
     cnb = jnp.where(lv, nbits[order], 0).astype(jnp.int32)
     off = header_bits + jnp.cumsum(cnb) - cnb
-    off = jnp.where(cnb > 0, off, jnp.int32(1 << 30))  # dead tail: +inf
-    k = 32 // max(min_token_bits, 1) + 2
-    cval = jnp.concatenate([cval, jnp.zeros((k,), jnp.uint32)])
-    cnb = jnp.concatenate([cnb, jnp.zeros((k,), jnp.int32)])
-    base = jnp.arange(out_words, dtype=jnp.int32) * 32
-    # first covering token per word WITHOUT a binary search: compacted
-    # offsets are contiguous, so count(off < 32w) is an exclusive prefix
-    # sum over a histogram of start words — and the 64K-bin histogram is
-    # a two-level one-hot int8 matmul on the MXU (a 19-round searchsorted
-    # over these shapes measured 0.39s/round on chip; this is ~1ms of
-    # matmul). first = that count minus one (the last token starting
-    # before the word, which by contiguity reaches into it).
-    sw = jnp.where(cnb[:tcap] > 0, off >> 5, jnp.int32(1 << 25))
+    # a <=32-bit token starting at `off` touches exactly words sw and sw+1:
+    # lo = bits landing in sw, hi = spill into sw+1
+    sw = jnp.where(cnb > 0, off >> 5, jnp.int32(1 << 25))  # dead -> own seg
+    sh = (off & 31).astype(jnp.uint32)
+    lo = cval << sh
+    hi = jnp.where(sh > 0, cval >> (jnp.uint32(32) - sh), jnp.uint32(0))
+    # per-word value = OR of its segment of lo (tokens starting in it) and
+    # the previous word's segment of hi. Offsets are sorted, so these are
+    # segmented ORs over runs of equal sw — one log-depth associative scan
+    # each, NO gathers (the earlier per-word K-wide gather rows cost ~34
+    # gathered elements per input byte; this is 2 per output word).
+    seg_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sw[1:] != sw[:-1]]
+    )
+
+    def comb(a, b):
+        f1, v1 = a
+        f2, v2 = b
+        return f1 | f2, jnp.where(f2, v2, v1 | v2)
+
+    _, lo_scan = lax.associative_scan(comb, (seg_start, lo))
+    _, hi_scan = lax.associative_scan(comb, (seg_start, hi))
+    # tokens-per-word histogram: two-level one-hot int8 matmul on the MXU
+    # (a 19-round searchsorted over these shapes measured 0.39s/round on
+    # chip; this is ~ms of matmul)
     hh = -(-out_words // 256) + 1  # +1 spill row for dead/off-the-end
     swc = jnp.clip(sw, 0, hh * 256 - 1)
     hi_oh = (swc[:, None] >> 8 == jnp.arange(hh, dtype=jnp.int32)[None, :]).astype(
@@ -458,20 +449,13 @@ def pack_bits(
         preferred_element_type=jnp.int32,
     )  # [hh, 256]
     counts = hist2.reshape(-1)[:out_words]
-    f_excl = jnp.cumsum(counts) - counts  # count(off < 32w)
-    first = jnp.clip(f_excl - 1, 0, tcap - 1)
-    vrow = _gather_rows(cval, first, k)  # [W, k]
-    nrow = _gather_rows(cnb, first, k)
-    start0 = jnp.where(off[first] == (1 << 30), total, off[first])
-    rel = start0 - base  # first token's bit position within this word
-    starts = rel[:, None] + (jnp.cumsum(nrow, axis=1) - nrow)
-    ok = (starts > -32) & (starts < 32) & (nrow > 0)
-    shp = jnp.clip(starts, 0, 31).astype(jnp.uint32)
-    shn = jnp.clip(-starts, 0, 31).astype(jnp.uint32)
-    contrib = jnp.where(starts >= 0, vrow << shp, vrow >> shn)
-    contrib = jnp.where(ok, contrib, jnp.uint32(0))
-    words = functools.reduce(jnp.bitwise_or, [contrib[:, j] for j in range(k)])
-    return words, total
+    f_excl = jnp.cumsum(counts) - counts  # count(sw < w)
+    last = jnp.clip(f_excl + counts - 1, 0, tcap - 1)  # last token in word w
+    wlo = jnp.where(counts > 0, lo_scan[last], jnp.uint32(0))
+    counts_p = jnp.concatenate([jnp.zeros((1,), counts.dtype), counts[:-1]])
+    last_p = jnp.concatenate([jnp.zeros((1,), last.dtype), last[:-1]])
+    whi = jnp.where(counts_p > 0, hi_scan[last_p], jnp.uint32(0))
+    return wlo | whi, total
 
 
 def encode_chunk_static(padded_u8: jnp.ndarray, n_valid, final, *, chain_depth=4, max_words=16, lazy=False, start=0, valid_from=0):

@@ -534,20 +534,32 @@ def resolve_tokens(comp, tok_kind, tok_a, tok_b, windows, out_size: int, wlen: i
                 [win, jnp.zeros(N - wlen, jnp.uint8)]
             )
             val = jnp.where(in_window, winpad[jnp.minimum(idx, wlen - 1)], val)
-        known = in_window | (k == TOK_LIT) | (k == TOK_RAW)
+        # positions beyond the produced total are never read: mark known so
+        # the early-exit pointer-doubling condition can converge
+        known = in_window | (k == TOK_LIT) | (k == TOK_RAW) | ~within
         src = jnp.where(k == TOK_MATCH, idx - b[t], idx)
         src = jnp.where(known, idx, src)
 
-        def round_fn(_, carry):
-            val, known, src = carry
+        rounds = max(1, (max(N, 2) - 1).bit_length() + 1)
+
+        def round_cond(carry):
+            r, _val, known, _src = carry
+            # most streams resolve in far fewer than log2(N) rounds; the
+            # worst case (a full-chunk dist-1 chain) still terminates at
+            # `rounds` (3 gathers x N per round is the dominant cost here)
+            return (r < rounds) & ~jnp.all(known)
+
+        def round_fn(carry):
+            r, val, known, src = carry
             sidx = jnp.clip(src, 0, N - 1)
             val = jnp.where(known, val, val[sidx])
             nk = known | known[sidx]
             src = jnp.where(nk, src, src[sidx])
-            return val, nk, src
+            return r + 1, val, nk, src
 
-        rounds = max(1, (max(N, 2) - 1).bit_length() + 1)
-        val, known, src = lax.fori_loop(0, rounds, round_fn, (val, known, src))
+        _r, val, known, src = lax.while_loop(
+            round_cond, round_fn, (jnp.int32(0), val, known, src)
+        )
         return jnp.where(within, val, 0), tot
 
     vals, totals = jax.vmap(one)(comp, tok_kind, tok_a, tok_b, outpos, total, windows)
