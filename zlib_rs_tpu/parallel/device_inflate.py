@@ -162,8 +162,20 @@ def _build_flat_lut(lengths, sym_kind, sym_aux, sym_payload, rev, nbits_total):
     s_payload = sym_payload[order]
 
     keys = rev  # uint32[2^nbits]: LSB index -> MSB-first value
-    # dense membership: idx of covering interval = (#starts <= key) - 1
-    pos = jnp.sum(keys[:, None] >= s_start[None, :].astype(jnp.uint32), axis=1) - 1
+    # membership: idx of covering interval = (#starts <= key) - 1. The
+    # dense [2^nbits, n] compare was ~90ms per table build on chip; count
+    # via a two-level one-hot int8 matmul histogram of the n interval
+    # starts + an inclusive prefix sum over the key space instead (~1ms).
+    nbins = (1 << nbits_total) + 1  # starts can equal the sentinel 2^nbits
+    hi_bins = -(-nbins // 128)
+    sv = jnp.clip(s_start, 0, nbins - 1).astype(jnp.int32)
+    hi_oh = (sv[:, None] >> 7 == jnp.arange(hi_bins, dtype=jnp.int32)[None, :]).astype(jnp.int8)
+    lo_oh = ((sv[:, None] & 127) == jnp.arange(128, dtype=jnp.int32)[None, :]).astype(jnp.int8)
+    hist = lax.dot_general(
+        hi_oh, lo_oh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    ).reshape(-1)[:nbins]
+    count_le = jnp.cumsum(hist)
+    pos = count_le[keys.astype(jnp.int32)] - 1
     pos = jnp.clip(pos, 0, n - 1)
     pad = 1 << nbits_total
 
@@ -519,7 +531,21 @@ def resolve_tokens(comp, tok_kind, tok_a, tok_b, windows, out_size: int, wlen: i
     idx = jnp.arange(N, dtype=jnp.int32)
 
     def one(comp_l, kind, a, b, pos, tot, win):
-        t = jnp.searchsorted(pos, idx, side="right") - 1
+        # covering token per output byte WITHOUT a log(S)-round binary
+        # search: live tokens have unique, sorted start positions, so
+        # scatter each slot index at its start byte (unique-index scatters
+        # measured as cheap as gathers on chip) and forward-fill with a
+        # running max — one scatter + one cummax instead of ~18 gather
+        # rounds over the byte axis.
+        live = kind != TOK_NULL
+        tgt = jnp.where(live, pos, N)  # dead slots dropped
+        slot = jnp.arange(S, dtype=jnp.int32)
+        starts = (
+            jnp.zeros((N,), jnp.int32)
+            .at[tgt]
+            .max(jnp.where(live, slot, 0), mode="drop", unique_indices=True)
+        )
+        t = lax.cummax(starts)
         t = jnp.clip(t, 0, S - 1)
         in_window = idx < wlen
         within = idx < tot
@@ -534,32 +560,32 @@ def resolve_tokens(comp, tok_kind, tok_a, tok_b, windows, out_size: int, wlen: i
                 [win, jnp.zeros(N - wlen, jnp.uint8)]
             )
             val = jnp.where(in_window, winpad[jnp.minimum(idx, wlen - 1)], val)
-        # positions beyond the produced total are never read: mark known so
-        # the early-exit pointer-doubling condition can converge
-        known = in_window | (k == TOK_LIT) | (k == TOK_RAW) | ~within
-        src = jnp.where(k == TOK_MATCH, idx - b[t], idx)
-        src = jnp.where(known, idx, src)
+        # positions beyond the produced total are never read: treat as known
+        # (self-pointing) so the fixpoint converges. "known" == src points
+        # at itself; matches chase src = i - dist through the copy chain.
+        known0 = in_window | (k == TOK_LIT) | (k == TOK_RAW) | ~within
+        src = jnp.where(known0, idx, jnp.where(k == TOK_MATCH, idx - b[t], idx))
 
         rounds = max(1, (max(N, 2) - 1).bit_length() + 1)
 
         def round_cond(carry):
-            r, _val, known, _src = carry
-            # most streams resolve in far fewer than log2(N) rounds; the
-            # worst case (a full-chunk dist-1 chain) still terminates at
-            # `rounds` (3 gathers x N per round is the dominant cost here)
-            return (r < rounds) & ~jnp.all(known)
+            r, src, moved = carry
+            # src-ONLY pointer doubling: one gather per round (val/known
+            # gathers hoisted out — a single val gather at the fixpoint
+            # resolves every byte), early-exiting when a round moves
+            # nothing. This third of the gather volume is the dominant
+            # cost of device decode.
+            return (r < rounds) & moved
 
         def round_fn(carry):
-            r, val, known, src = carry
-            sidx = jnp.clip(src, 0, N - 1)
-            val = jnp.where(known, val, val[sidx])
-            nk = known | known[sidx]
-            src = jnp.where(nk, src, src[sidx])
-            return r + 1, val, nk, src
+            r, src, _moved = carry
+            nsrc = src[jnp.clip(src, 0, N - 1)]
+            return r + 1, nsrc, jnp.any(nsrc != src)
 
-        _r, val, known, src = lax.while_loop(
-            round_cond, round_fn, (jnp.int32(0), val, known, src)
+        _r, src, _m = lax.while_loop(
+            round_cond, round_fn, (jnp.int32(0), src, jnp.array(True))
         )
+        val = val[jnp.clip(src, 0, N - 1)]
         return jnp.where(within, val, 0), tot
 
     vals, totals = jax.vmap(one)(comp, tok_kind, tok_a, tok_b, outpos, total, windows)

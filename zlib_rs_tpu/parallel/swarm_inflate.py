@@ -57,7 +57,10 @@ from .device_inflate import (
 )
 from ..ops import huffman as H
 
-SEEDS_PER_CHUNK = 64
+SEEDS_PER_CHUNK = 128  # ~1 KiB pieces at 128 KiB chunks: more walkers per
+# lockstep op (amortizes the ~0.2-1ms per-op dispatch overhead) and a
+# shorter loop bound; the seeds live in the index, not the stream, so the
+# compression ratio is unaffected (~1 KiB of index metadata per chunk)
 
 _CL_ORDER_NP = np.array(
     [16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15], np.int64
@@ -244,9 +247,11 @@ def decode_seeded(comp, ll_lens, d_lens, seeds_bit, seeds_span, cap: int, max_ou
         col_a = jnp.where(emit, cover, 0)
         col_b = jnp.where(is_lit, payload, dist)
         col_b = jnp.where(emit, col_b, 0)
-        tk = lax.dynamic_update_slice(tk, col_k[:, None], (0, it))
-        ta = lax.dynamic_update_slice(ta, col_a[:, None], (0, it))
-        tb = lax.dynamic_update_slice(tb, col_b[:, None], (0, it))
+        # tapes are time-major [cap, W]: each iteration writes ONE contiguous
+        # row (a strided per-walker column write measured ~3x slower)
+        tk = lax.dynamic_update_slice(tk, col_k[None, :], (it, 0))
+        ta = lax.dynamic_update_slice(ta, col_a[None, :], (it, 0))
+        tb = lax.dynamic_update_slice(tb, col_b[None, :], (it, 0))
         bitpos = jnp.where(emit, bitpos + adv, bitpos)
         remaining = jnp.where(emit, remaining - cover, remaining)
         bad = bad | is_bad
@@ -261,11 +266,15 @@ def decode_seeded(comp, ll_lens, d_lens, seeds_bit, seeds_span, cap: int, max_ou
         seeds_bit.reshape(W),
         seeds_span.reshape(W),
         jnp.zeros((W,), bool),
-        jnp.zeros((W, cap), jnp.uint8),
-        jnp.zeros((W, cap), jnp.int32),
-        jnp.zeros((W, cap), jnp.int32),
+        jnp.zeros((cap, W), jnp.uint8),
+        jnp.zeros((cap, W), jnp.int32),
+        jnp.zeros((cap, W), jnp.int32),
     )
     _it, bitpos, remaining, badw, tk, ta, tb = lax.while_loop(cond, body, init)
+    # back to walker-major for the tape consumers
+    tk = tk.T
+    ta = ta.T
+    tb = tb.T
 
     # exactness: every walker drained its span, and walker j landed exactly
     # on seed j+1's bit cursor (no drift across seams)
