@@ -361,6 +361,38 @@ def decode_chunks_kernel(bodies, out_sizes, *, max_out=None, interpret=None):
     return parts
 
 
+def make_sharded_decode_step(mesh, *, cap: int, max_out: int):
+    """The multi-chip decode step as an explicit shard_map program: each
+    device decodes its shard of the chunk batch with the seed-parallel
+    walkers, then an `all_gather` over ICI materializes the ordered output
+    on every device (one host fetch from one device, mirroring
+    make_sharded_encode_step). The chunk batch must divide by the mesh
+    size."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(comp, ll_lens, d_lens, seeds_bit, seeds_span):
+        out, produced, bad = decode_seeded(
+            comp, ll_lens, d_lens, seeds_bit, seeds_span, cap=cap, max_out=max_out
+        )
+        out_all = jax.lax.all_gather(out, "chunks", tiled=True)
+        produced_all = jax.lax.all_gather(produced, "chunks", tiled=True)
+        bad_all = jax.lax.all_gather(bad, "chunks", tiled=True)
+        return out_all, produced_all, bad_all
+
+    mapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("chunks", None), P("chunks", None), P("chunks", None),
+            P("chunks", None), P("chunks", None),
+        ),
+        out_specs=(P(None, None), P(None), P(None)),
+        check_rep=False,
+    )
+    return jax.jit(mapped)
+
+
 def decode_chunks_seeded(bodies, out_sizes, seeds, *, max_out=None):
     """Decode chunk bodies (list of bytes) with per-chunk (bits, outs)
     seeds recorded by compress_parallel. Returns list of bytes, or raises
