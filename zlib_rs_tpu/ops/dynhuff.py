@@ -161,7 +161,7 @@ def token_symbols(padded_u8, length, dist, tokens):
     return ll_sym, d_sym, e1, eb1, e2, eb2
 
 
-def encode_chunk_dynamic(padded_u8, n_valid, *, chain_depth=4, max_words=16, lazy=False, start=0, valid_from=0, n_seeds=0):
+def encode_chunk_dynamic(padded_u8, n_valid, *, chain_depth=4, max_words=16, lazy=False, start=0, valid_from=0, n_seeds=0, parse=None):
     """One chunk -> dynamic-Huffman block BODY (symbols + EOB, no header).
 
     Returns (words u32[W], body_bits i32, ll_lens i32[286], d_lens i32[30]).
@@ -177,15 +177,21 @@ def encode_chunk_dynamic(padded_u8, n_valid, *, chain_depth=4, max_words=16, laz
     rapidgzip must reconstruct by scanning; SURVEY.md §2e seam hooks).
     """
     n = padded_u8.shape[0] - lz77.PAD
-    length, dist = lz77.find_matches(
-        padded_u8, n_valid, chain_depth=chain_depth, max_words=max_words,
-        lazy=lazy, valid_from=valid_from,
-    )
-    # stage barriers: stop XLA from fusing each producer into the next
-    # stage's gathers (it would recompute the producer per access)
-    length, dist = jax.lax.optimization_barrier((length, dist))
-    tokens = lz77.greedy_parse(length, n_valid, start)
-    tokens = jax.lax.optimization_barrier(tokens)
+    if parse is not None:
+        # precomputed tokenization (e.g. the Pallas sequential scan,
+        # ops/pallas/deflate_kernel.py): tokens/length/dist as-is
+        tokens, length, dist = parse
+        tokens = tokens.astype(bool)
+    else:
+        length, dist = lz77.find_matches(
+            padded_u8, n_valid, chain_depth=chain_depth, max_words=max_words,
+            lazy=lazy, valid_from=valid_from,
+        )
+        # stage barriers: stop XLA from fusing each producer into the next
+        # stage's gathers (it would recompute the producer per access)
+        length, dist = jax.lax.optimization_barrier((length, dist))
+        tokens = lz77.greedy_parse(length, n_valid, start)
+        tokens = jax.lax.optimization_barrier(tokens)
     ll_sym, d_sym, e1, eb1, e2, eb2 = token_symbols(padded_u8, length, dist, tokens)
     ll_sym, d_sym, e1, eb1, e2, eb2 = jax.lax.optimization_barrier(
         (ll_sym, d_sym, e1, eb1, e2, eb2)
