@@ -5,21 +5,22 @@ emission hot loops (zlib-rs/src/deflate/longest_match.rs, compare256.rs,
 deflate.rs:1148 compress_block_help) — re-architected for a vector machine
 instead of translated:
 
-  * hash chains  -> stable sort by hash: each position's most recent previous
-    occurrence is its sorted neighbor; deeper chain probes are iterated
-    gathers of that "previous occurrence" pointer (bounded depth K);
-  * compare256   -> word-granular equality scan: step s compares the u32 at
-    i+4s with the u32 at cand+4s; a cumulative AND + population count gives
-    the match length, and the first mismatching word's XOR gives the byte
-    tail. Run matches (dist<=1) get exact lengths via a run-length scan so
-    long runs still reach 258 even with a small word cap;
+  * hash chains  -> SORTED SPACE: a stable argsort by hash puts a position's
+    whole chain at its k preceding sorted slots, and pre-gathering the probe
+    words into sorted order turns every candidate comparison into a
+    shifted-slice vector op (zero gathers per candidate). compare256's byte
+    tail is captured at the compare loop's break step; only the winner gets
+    an extension scan. Run matches (dist<=1) get exact lengths via a
+    run-length scan so long runs still reach 258;
   * greedy parse -> pointer doubling: nxt[i] = i + step[i]; log2(N) rounds of
     scatter-max mark exactly the token positions the serial greedy scan
     would visit;
-  * bit packing  -> per-token (value, nbits) fusion (≤31 bits with static
-    trees), exclusive prefix sum of bit lengths, then OUTPUT-driven packing:
-    every output bit binary-searches its source token (TPU scatters
-    serialize on collision; gathers are fast).
+  * bit packing  -> compact live tokens, then per-word segmented ORs over
+    runs of equal start-word via two log-depth associative scans; the
+    tokens-per-word histogram is a two-level one-hot int8 matmul on the MXU.
+    (Profiled cost model: gathers ~10ns per ELEMENT, wide gather slices
+    lower to serial loops, unique-index scatters are cheap — see
+    ARCHITECTURE.md.)
 
 Everything is fixed-shape and jittable; chunks are the unit of data
 parallelism (vmap over a batch, shard_map over a mesh — parallel/pipeline.py).
