@@ -69,19 +69,6 @@ def hash4(words: jnp.ndarray) -> jnp.ndarray:
     return ((words * HASH_MULT) >> jnp.uint32(32 - HASH_BITS)).astype(jnp.int32)
 
 
-def _gather_rows(arr: jnp.ndarray, starts: jnp.ndarray, width: int) -> jnp.ndarray:
-    """rows[i, s] = arr[starts[i] + s] as `width` SEPARATE per-element
-    gathers.
-
-    Measured on v5e: XLA TPU gather cost is per gathered ELEMENT (~7-12ns),
-    and `lax.gather` with slice_sizes > 1 lowers to a pathological serial
-    dynamic-slice while-loop (2µs/row!) — so wide "row gathers" must be
-    spelled as width separate element gathers, which vectorize."""
-    nmax = arr.shape[0] - 1
-    cols = [arr[jnp.minimum(starts + s, nmax)] for s in range(width)]
-    return jnp.stack(cols, axis=1)
-
-
 def _run_match_lengths(padded_u8: jnp.ndarray, n: int, n_valid, valid_from=0) -> jnp.ndarray:
     """Exact dist-1 match length at every position: number of j >= i with
     data[j] == data[j-1], capped at MAX_MATCH. Handles long runs that the
