@@ -425,6 +425,53 @@ def bench_device(data: bytes) -> dict:
     except Exception as e:
         _log(f"swarm decode bench skipped: {e}")
 
+    # -- Pallas sequential-inflate kernel on the same seeded bodies:
+    # first Mosaic compile is the validation gate (interpret mode is
+    # byte-exact); any failure is logged and skipped.
+    try:
+      with _watchdog(1200, "pallas kernel decode"):
+        from zlib_rs_tpu.parallel import swarm_inflate as SW2
+
+        parts = SW2.decode_chunks_kernel(bodies, out_sizes, interpret=False)
+        joined = b"".join(parts)
+        _log("pallas inflate kernel: chip compile + decode OK")
+
+        Bk = len(bodies)
+        Lk = max(len(b) for b in bodies) + 12
+        compk = np.zeros((Bk, Lk), np.uint8)
+        llk = np.zeros((Bk, 320), np.int32)
+        ddk = np.zeros((Bk, 320), np.int32)
+        sbk = np.zeros((Bk,), np.int32)
+        for k, body in enumerate(bodies):
+            compk[k, : len(body)] = np.frombuffer(body, np.uint8)
+            _bt, ll_k, d_k, hb = SW2.parse_block_header(body)
+            llk[k] = ll_k
+            ddk[k] = d_k
+            sbk[k] = hb
+        argsk = (
+            jnp.asarray(compk), jnp.asarray(llk), jnp.asarray(ddk),
+            jnp.asarray(sbk), jnp.asarray(np.asarray(out_sizes, np.int32)),
+        )
+        jax.block_until_ready(
+            SW2._kernel_decode(*argsk, max_out=CHUNK, interpret=False)
+        )
+
+        def kernel_once():
+            return SW2._kernel_decode(*argsk, max_out=CHUNK, interpret=False)
+
+        sec, _progs = _device_trace_seconds(kernel_once, 1, "pallas_kernel", 1200)
+        if sec:
+            dev["pallas_inflate_kernel_trace_s"] = round(sec, 3)
+            dev["pallas_inflate_kernel_gbps"] = round(
+                sum(out_sizes) / sec / 1e9, 5
+            )
+            _log(
+                f"pallas inflate kernel device-trace "
+                f"{dev['pallas_inflate_kernel_gbps']} GB/s"
+            )
+    except Exception as e:
+        _log(f"pallas kernel decode skipped: {e}")
+
     # -- turbo decode (positional, indexless foreign streams): kept as a
     # completeness measurement on a SMALL region batch — the construction
     # is O(bits x log S) gathers and is not a throughput path.
