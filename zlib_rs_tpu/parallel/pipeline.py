@@ -546,7 +546,22 @@ def decompress_parallel(data: bytes, index, engine: str = "auto") -> bytes:
         return oneshot.decompress(data)
     result = None
     seeds = getattr(index, "seeds", None)
-    if engine == "tpu" and seeds is not None and all(s is not None for s in seeds):
+    if engine == "tpu" and os.environ.get("ZRS_TPU_KERNEL") == "1":
+        # opt-in: the Pallas sequential-inflate kernel (no seeds needed);
+        # gated behind an env var until Mosaic compilation is validated on
+        # real hardware (interpret mode is byte-exact in tests)
+        from . import swarm_inflate
+
+        bodies = [data[off : off + ln] for off, ln, _ in index]
+        out_sizes = [out_len for _, _, out_len in index]
+        try:
+            parts = swarm_inflate.decode_chunks_kernel(bodies, out_sizes)
+            result = b"".join(parts)
+        except Exception:
+            result = None
+    if result is None and engine == "tpu" and seeds is not None and all(
+        s is not None for s in seeds
+    ):
         from . import swarm_inflate
 
         bodies = [data[off : off + ln] for off, ln, _ in index]
