@@ -578,6 +578,12 @@ def main():
 
     base6 = cpu["compress"][str(LEVEL)]["gbps"]
     headline = device.get("encode_trace_gbps") or 0.0
+    if not device:
+        _log(
+            "DEVICE UNREACHABLE for this entire run (tunnel outage): the "
+            "value field is 0.0, NOT a measurement. Last trace-measured "
+            "numbers and methodology are recorded in STATUS.md."
+        )
     result = {
         "metric": f"parallel_deflate_level{LEVEL}_device_gbps",
         "value": round(headline, 5),
@@ -595,6 +601,7 @@ def main():
             "native one-shot output is byte-identical to zlib."
         ),
         "device": device,
+        "device_unreachable": not device,
         "native": native,
         "cpu_zlib": cpu,
         "host_stream_decode_mbps_by_input_chunk": sweep,
