@@ -45,3 +45,36 @@ def test_kernel_rejects_garbage():
     corrupt[len(corrupt) // 2 :] = bytes(len(corrupt) - len(corrupt) // 2)
     with pytest.raises(ValueError):
         SW.decode_chunks_kernel([bytes(corrupt)], [outs[0]], interpret=True)
+
+def _raw(data, level=6, strategy=zlib.Z_DEFAULT_STRATEGY):
+    c = zlib.compressobj(level, zlib.DEFLATED, -15, 9, strategy)
+    return c.compress(data) + c.flush()
+
+
+def test_kernel_decodes_foreign_streams():
+    """The kernel is a full RFC 1951 decoder: multi-block zlib-produced
+    streams, stored blocks, fixed blocks — no index, no seeds."""
+    rng = np.random.default_rng(7)
+    datas = [
+        open("/bin/bash", "rb").read()[:80_000],          # dynamic, multi-block
+        bytes(rng.integers(0, 256, 40_000, dtype=np.uint64).astype(np.uint8)),  # stored
+        b"fixed block content " * 50,                      # small
+        b"",                                               # empty stream
+    ]
+    streams = [
+        _raw(datas[0]),
+        _raw(datas[1], level=0),
+        _raw(datas[2], strategy=zlib.Z_FIXED),
+        _raw(datas[3]),
+    ]
+    parts = SW.decode_chunks_kernel(streams, [len(d) for d in datas], interpret=True)
+    assert parts == datas
+
+
+def test_kernel_multiblock_sync_flush():
+    """Z_FULL_FLUSH seams produce multiple blocks incl. empty stored ones."""
+    c = zlib.compressobj(6, zlib.DEFLATED, -15)
+    data1, data2 = b"first part " * 300, b"second part " * 300
+    s = c.compress(data1) + c.flush(zlib.Z_FULL_FLUSH) + c.compress(data2) + c.flush()
+    parts = SW.decode_chunks_kernel([s], [len(data1) + len(data2)], interpret=True)
+    assert parts[0] == data1 + data2

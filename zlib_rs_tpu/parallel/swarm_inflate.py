@@ -293,59 +293,29 @@ def decode_seeded(comp, ll_lens, d_lens, seeds_bit, seeds_span, cap: int, max_ou
     return out, produced, bad
 
 
-@functools.partial(jax.jit, static_argnames=("max_out", "interpret"))
-def _kernel_decode(comp, ll_lens, d_lens, start_bits, out_lens, *, max_out, interpret):
-    from ..ops.pallas.inflate_kernel import decode_blocks_pallas
-
-    B, L = comp.shape
-    b32 = comp.astype(jnp.uint32)
-    w = b32
-    w = w.at[:, : L - 1].add(b32[:, 1:] << 8)
-    w = w.at[:, : L - 2].add(b32[:, 2:] << 16)
-    w = w.at[:, : L - 3].add(b32[:, 3:] << 24)
-    rev15 = jnp.asarray(_REV15_NP)
-    ll_fields = _ll_symbol_fields(320)
-    d_fields = _d_symbol_fields(320)
-    ll_lut = jax.vmap(lambda ln: _build_flat_lut(ln, *ll_fields, rev15, FLAT_BITS))(
-        ll_lens
-    )
-    d_lut = jax.vmap(lambda ln: _build_flat_lut(ln, *d_fields, rev15, FLAT_BITS))(
-        d_lens
-    )
-    return decode_blocks_pallas(
-        w, ll_lut, d_lut, start_bits, out_lens, max_out=max_out, interpret=interpret
-    )
-
-
 def decode_chunks_kernel(bodies, out_sizes, *, max_out=None, interpret=None):
-    """Decode single-block chunk bodies with the Pallas sequential-in-VMEM
-    kernel (ops/pallas/inflate_kernel.py) — one TensorCore-resident
-    inflate_fast per chunk, chunks parallel over the grid. Needs no seeds:
-    only the host header parse. Raises ValueError on any bad lane (caller
-    falls back to an exact engine)."""
+    """Decode chunk bodies (or any raw-deflate streams) with the Pallas
+    SMEM-resident sequential-inflate kernel (ops/pallas/inflate_kernel.py)
+    — one TensorCore-resident full inflate per stream, streams as the grid
+    axis. Needs no seeds and no host header parse: stored/fixed/dynamic
+    blocks, multi-block bodies, and table builds all happen in-kernel.
+    Raises ValueError on any bad lane (caller falls back to an exact
+    engine)."""
+    from ..ops.pallas.inflate_kernel import decode_streams_pallas, pack_streams_words
+
     B = len(bodies)
     if B == 0:
         return []
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     max_out = max_out or max(out_sizes)
-    L = max(len(b) for b in bodies) + 12
-    comp = np.zeros((B, L), np.uint8)
-    ll = np.zeros((B, 320), np.int32)
-    dd = np.zeros((B, 320), np.int32)
-    sbit = np.zeros((B,), np.int32)
-    for k, body in enumerate(bodies):
-        comp[k, : len(body)] = np.frombuffer(body, np.uint8)
-        parsed = parse_block_header(body)
-        if parsed is None:
-            raise ValueError(f"chunk {k}: not a single coded block")
-        _bt, ll_k, d_k, hdr_bits = parsed
-        ll[k] = ll_k
-        dd[k] = d_k
-        sbit[k] = hdr_bits
-    out, produced, bad = _kernel_decode(
-        jnp.asarray(comp), jnp.asarray(ll), jnp.asarray(dd), jnp.asarray(sbit),
-        jnp.asarray(np.asarray(out_sizes, np.int32)), max_out=max_out,
+    words, comp_bits = pack_streams_words(bodies)
+    out, produced, bad, _endbit = decode_streams_pallas(
+        jnp.asarray(words),
+        jnp.zeros((B,), jnp.int32),
+        jnp.asarray(comp_bits),
+        jnp.asarray(np.asarray(out_sizes, np.int32)),
+        max_out=max_out,
         interpret=interpret,
     )
     bad_np = np.asarray(bad)
