@@ -1,20 +1,26 @@
-"""Pallas TPU kernel: sequential LZ77 scan (match+parse) of one chunk per
-grid step.
+"""Pallas TPU kernel: sequential LZ77 scan (hash-chain match + parse) of
+one chunk per grid step, every operand SMEM-resident.
 
-The XLA matcher pays ~40 gathered HBM elements per input byte (the
-measured ~10ns/element gather tax bounds it at ~1 MB/s/chip). This kernel
-runs the classic hash-chain scan — the reference's deflate_fast/slow loop
-(zlib-rs/src/deflate/algorithm/fast.rs, slow.rs; longest_match.rs) — as a
-scalar loop on the TensorCore with the whole working set VMEM-resident:
-the chunk words, a 2^15-entry hash head table, and the prev-chain array.
-Unlike the lockstep XLA matcher it EARLY-EXITS chain walks and skips
-match interiors exactly like the CPU algorithm, so the work per byte is
-the CPU algorithm's, not the vectorized upper bound.
+The XLA matcher pays the HBM gather tax (~10ns per gathered element, ~40
+elements per input byte — the measured reason the device encode sat at
+~1 MB/s/chip). This kernel runs the classic hash-chain scan — the
+reference's deflate_fast/slow loop (zlib-rs/src/deflate/algorithm/fast.rs,
+slow.rs; longest_match.rs with the anchored-byte early reject,
+longest_match.rs:38-51) — on the TensorCore scalar unit with the whole
+working set in SMEM (chip-measured ~5.3ns per dependent scalar load;
+scalar VMEM access is unsupported, experiments/probe_scalar.py):
 
-Emits the PARSE directly: tokens[i] = 1 at token starts, with length[i]
-(0 for literals) and dist[i]; downstream tree build + packing stay on the
-XLA path. Interpret-mode tested on CPU; chip compilation is gated on
-tunnel access (callers fall back to the XLA matcher).
+  * input bytes as packed LE32 words (any 32-bit window = 2 loads),
+  * a 2^14-entry hash head table,
+  * the prev chain packed two u16 positions per word (NIL = 0xFFFF),
+  * the PARSE emitted as a compact match stream (position + len/dist) —
+    literals are implicit gaps, so the stream caps at CAP_M entries and
+    an overflowing (pathological) chunk flags `bad` for an exact-engine
+    fallback.
+
+Chunk buffers are limited to <= 65024 bytes (dict prefix + data) so
+positions fit the packed u16 chain. Downstream (tree build + bit packing)
+stays on the XLA path via the positional-array wrapper `lz_scan_pallas`.
 """
 
 from __future__ import annotations
@@ -27,33 +33,70 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-HASH_BITS_K = 15
-HASH_MULT = 2654435761
+HASH_BITS = 14
+HSIZE = 1 << HASH_BITS
 MIN_MATCH = 3
 MAX_MATCH = 258
 MAX_DIST = 32768
+CAP_M = 20480  # max matches per chunk; >= this flags bad (fallback)
+MAX_BUF = 65024  # dict + data ceiling (u16 chain positions, 0xFFFF = NIL)
 
 
-def _kernel(
-    nvalid_ref, start_ref, depth_ref, nice_ref, words_ref,
-    tok_ref, len_ref, dist_ref,
-    head_ref, prev_ref,
-):
-    n_valid = nvalid_ref[0, 0]
-    start = start_ref[0, 0]
-    depth = depth_ref[0, 0]
-    nice = nice_ref[0, 0]
+def _kernel(meta_ref, words_ref, mpos_ref, mld_ref, st_ref, head, prev):
+    _U1 = jnp.uint32(1)
+    n_valid = meta_ref[0, 0, 0]
+    start = meta_ref[0, 0, 1]
+    ins_from = meta_ref[0, 0, 2]
+    depth = meta_ref[0, 0, 3]
+    nice = meta_ref[0, 0, 4]
 
-    tok_ref[0, :] = jnp.zeros_like(tok_ref[0, :])
-    len_ref[0, :] = jnp.zeros_like(len_ref[0, :])
-    dist_ref[0, :] = jnp.zeros_like(dist_ref[0, :])
-    head_ref[0, :] = jnp.full_like(head_ref[0, :], -1)
+    def get32(p):
+        wi = p >> 2
+        sh = ((p & 3) << 3).astype(jnp.uint32)
+        w0 = words_ref[0, 0, wi]
+        w1 = words_ref[0, 0, wi + 1]
+        return jnp.where(sh > 0, (w0 >> sh) | (w1 << (jnp.uint32(32) - sh)), w0)
+
+    def byte_at(p):
+        w = words_ref[0, 0, p >> 2]
+        return (w >> ((p & 3) << 3).astype(jnp.uint32)) & jnp.uint32(0xFF)
 
     def hash_at(i):
-        w = words_ref[0, i]
-        return ((w * jnp.uint32(HASH_MULT)) >> jnp.uint32(32 - HASH_BITS_K)).astype(
-            jnp.int32
+        return (
+            (get32(i) * jnp.uint32(2654435761)) >> jnp.uint32(32 - HASH_BITS)
+        ).astype(jnp.int32)
+
+    def prev_set(i, v):
+        v16 = jnp.where(v < 0, jnp.uint32(0xFFFF), v.astype(jnp.uint32))
+        wi = i >> 1
+        w = prev[0, wi]
+        prev[0, wi] = jnp.where(
+            (i & 1) > 0,
+            (w & jnp.uint32(0xFFFF)) | (v16 << jnp.uint32(16)),
+            (w & jnp.uint32(0xFFFF0000)) | v16,
         )
+
+    def prev_get(p):
+        w = prev[0, p >> 1]
+        v = jnp.where((p & 1) > 0, w >> jnp.uint32(16), w) & jnp.uint32(0xFFFF)
+        return jnp.where(v == jnp.uint32(0xFFFF), -1, v.astype(jnp.int32))
+
+    def insert(i):
+        h = hash_at(i)
+        prev_set(i, head[0, h])
+        head[0, h] = i
+
+    def zh(i, _):
+        head[0, i] = -1
+        return 0
+
+    lax.fori_loop(0, HSIZE, zh, 0)
+
+    def pre_ins(i, _):
+        insert(i)
+        return 0
+
+    lax.fori_loop(ins_from, start, pre_ins, 0)
 
     def match_len(i, cand, cap):
         def mcond(st):
@@ -62,156 +105,220 @@ def _kernel(
 
         def mbody(st):
             k, _go = st
-            eq = words_ref[0, i + k] == words_ref[0, cand + k]
+            eq = get32(i + k) == get32(cand + k)
             return jnp.where(eq, k + 4, k), eq
 
         k, _ = lax.while_loop(mcond, mbody, (jnp.int32(0), True))
         k = jnp.minimum(k, cap)
-        x = words_ref[0, i + k] ^ words_ref[0, cand + k]
-        t0 = (x & 0xFF) == 0
-        t1 = t0 & ((x & 0xFFFF) == 0)
-        t2 = t1 & ((x & 0xFFFFFF) == 0)
+        x = get32(i + k) ^ get32(cand + k)
+        t0 = (x & jnp.uint32(0xFF)) == 0
+        t1 = t0 & ((x & jnp.uint32(0xFFFF)) == 0)
+        t2 = t1 & ((x & jnp.uint32(0xFFFFFF)) == 0)
         tail = t0.astype(jnp.int32) + t1.astype(jnp.int32) + t2.astype(jnp.int32)
         return jnp.minimum(k + jnp.where(x == 0, 0, tail), cap)
 
-    def insert(i):
-        h = hash_at(i)
-        prev_ref[0, i] = head_ref[0, h]
-        head_ref[0, h] = i
+    GOOD_MATCH = 8  # chain budget shrinks once a good match is in hand
 
     def best_match(i, cand0):
-        # cand0 is the chain head BEFORE i was inserted (else i matches
-        # itself at dist 0 — longest_match.rs looks up before insert too)
         cap = jnp.minimum(n_valid - i, MAX_MATCH)
 
         def wcond(st):
-            cand, d, bl, _bd = st
+            cand, d, bl, _bd, _eb = st
             return (cand >= 0) & (i - cand <= MAX_DIST) & (d < depth) & (bl < nice)
 
         def wbody(st):
-            cand, d, bl, bd = st
-            ml = match_len(i, cand, cap)
+            cand, d, bl, bd, endb = st
+            # anchored reject (longest_match.rs:38-51): the byte at
+            # cand+bl must match i+bl (cached in endb) for this candidate
+            # to beat bl
+            anchor_ok = byte_at(cand + bl) == endb
+            ml = jnp.where(anchor_ok, match_len(i, cand, cap), 0)
             better = ml > bl
             nbl = jnp.where(better, ml, bl)
-            nbd = jnp.where(better, i - cand, bd)
-            return prev_ref[0, cand], d + 1, nbl, nbd
+            # the budget quarters once bl >= GOOD_MATCH
+            # (longest_match.rs:76-79), approximated by a 4x step
+            return (
+                prev_get(cand),
+                d + jnp.where(nbl >= GOOD_MATCH, 4, 1),
+                nbl,
+                jnp.where(better, i - cand, bd),
+                jnp.where(better, byte_at(i + jnp.minimum(ml, cap - 1)), endb),
+            )
 
-        _c, _d, bl, bd = lax.while_loop(
-            wcond, wbody, (cand0, jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        _c, _d, bl, bd, _eb = lax.while_loop(
+            wcond,
+            wbody,
+            (cand0, jnp.int32(0), jnp.int32(0), jnp.int32(0), byte_at(i)),
         )
         reject = (bl < MIN_MATCH) | ((bl == MIN_MATCH) & (bd > 4096))
         return jnp.where(reject, 0, bl), jnp.where(reject, 0, bd)
 
+    def emit(mc, pos, mlen, mdist, do_it, b):
+        # branchless append: dead writes land in the CAP_M.. slack slots
+        slot = jnp.where(do_it & (mc < CAP_M), mc, CAP_M)
+        mpos_ref[0, 0, slot] = pos
+        mld_ref[0, 0, slot] = (
+            (mlen - MIN_MATCH).astype(jnp.uint32) << jnp.uint32(15)
+        ) | mdist.astype(jnp.uint32)
+        b = b | (do_it & (mc >= CAP_M))
+        return mc + do_it.astype(jnp.int32), b
+
+    def ins_span(frm, to):
+        # insert positions [frm, to) (match interiors), bounded
+        hi = jnp.minimum(to, n_valid)
+
+        def one(j, _):
+            insert(j)
+            return 0
+
+        lax.fori_loop(frm, hi, one, 0)
+
     def cond(st):
-        i, _pl_, _pd, _avail = st
-        return i[0] < n_valid
+        iw, _pl_, _pd, _avail, _mc, b = st
+        return (iw[0] < n_valid) & ~b
 
     def body(st):
-        iw, plen, pdist, avail = st
+        iw, plen, pdist, avail, mc, b = st
         i = iw[0]
         h = hash_at(i)
-        cand0 = head_ref[0, h]
-        prev_ref[0, i] = cand0
-        head_ref[0, h] = i
+        cand0 = head[0, h]
+        prev_set(i, cand0)
+        head[0, h] = i
         blen, bdist = best_match(i, cand0)
 
         # one-step lazy (deflate_slow's deferral): a pending match at i-1
         # is emitted unless this position matches strictly longer
         emit_prev = avail & (plen >= blen) & (plen >= MIN_MATCH)
+        mc, b = emit(mc, i - 1, plen, pdist, emit_prev, b)
 
         @pl.when(emit_prev)
         def _():
-            tok_ref[0, i - 1] = 1
-            len_ref[0, i - 1] = plen
-            dist_ref[0, i - 1] = pdist
-
-            def ins(j, _c):
-                @pl.when(i + j < n_valid)
-                def _():
-                    insert(i + j)
-
-                return 0
-
-            # zlib inserts every interior position of an emitted match;
-            # i (= match start + 1) was inserted at the top of this step
-            lax.fori_loop(1, plen - 1, ins, 0)
-
-        # pending match beaten by a longer one here: i-1 demotes to literal
-        @pl.when(jnp.logical_not(emit_prev) & avail)
-        def _():
-            tok_ref[0, i - 1] = 1
+            # insert interiors; i itself was inserted at the top
+            ins_span(i + 1, i - 1 + plen)
 
         new_avail = jnp.where(emit_prev, False, blen >= MIN_MATCH)
-
-        # nothing pending and nothing found: literal at i
-        @pl.when(jnp.logical_not(emit_prev) & jnp.logical_not(new_avail)
-                 & jnp.logical_not(avail))
-        def _():
-            tok_ref[0, i] = 1
-
         nxt = jnp.where(emit_prev, i - 1 + plen, i + 1)
         new_plen = jnp.where(new_avail, blen, 0)
         new_pdist = jnp.where(new_avail, bdist, 0)
-        return nxt[None], new_plen, new_pdist, new_avail
+        return nxt[None], new_plen, new_pdist, new_avail, mc, b
 
-    iw, plen, pdist, avail = lax.while_loop(
-        cond, body, (start[None], jnp.int32(0), jnp.int32(0), False)
+    iw, plen, pdist, avail, mc, b = lax.while_loop(
+        cond,
+        body,
+        (
+            start[None],
+            jnp.int32(0),
+            jnp.int32(0),
+            jnp.bool_(False),
+            jnp.int32(0),
+            jnp.bool_(False),
+        ),
     )
     i = iw[0]
-
-    # flush a pending token at i-1
+    # flush a pending match at i-1 (it may extend past n_valid: trim)
     fits = avail & (plen >= MIN_MATCH) & (i - 1 + plen <= n_valid)
+    mc, b = emit(mc, i - 1, plen, pdist, fits, b)
+    st_ref[0, 0, 0] = mc
+    st_ref[0, 0, 1] = b.astype(jnp.int32)
+    st_ref[0, 0, 2] = 0
+    st_ref[0, 0, 3] = 0
 
-    @pl.when(fits)
-    def _():
-        tok_ref[0, i - 1] = 1
-        len_ref[0, i - 1] = plen
-        dist_ref[0, i - 1] = pdist
 
-    @pl.when(avail & jnp.logical_not(fits))
-    def _():
-        tok_ref[0, i - 1] = 1
+@functools.partial(jax.jit, static_argnames=("depth", "nice", "interpret"))
+def scan_chunks_pallas(words4, n_valid, start, ins_from, *, depth: int, nice: int, interpret: bool = False):
+    """Hash-chain scan of B chunks (grid-sequential, DMA-overlapped).
+
+    words4: uint32[B, W] ALIGNED LE32-packed chunk bytes (>= 2 words zero
+    tail padding; dict prefix + data <= MAX_BUF). n_valid: total valid
+    bytes; start: first emittable position; ins_from: first hashable
+    position (dict priming inserts [ins_from, start)).
+    Returns (mpos i32[B, CAP_M+8], mld u32[B, CAP_M+8], nmatch i32[B],
+    bad bool[B]); mld packs (len-3) << 15 | dist.
+    """
+    B, W = words4.shape
+    if (W - 2) * 4 > MAX_BUF + 8:
+        raise ValueError(
+            f"chunk buffer {(W - 2) * 4} exceeds MAX_BUF={MAX_BUF} "
+            "(positions must fit the packed u16 prev chain)"
+        )
+    meta = jnp.stack(
+        [
+            n_valid.astype(jnp.int32),
+            start.astype(jnp.int32),
+            ins_from.astype(jnp.int32),
+            jnp.full((B,), depth, jnp.int32),
+            jnp.full((B,), nice, jnp.int32),
+        ],
+        axis=1,
+    )
+    meta = jnp.pad(meta, ((0, 0), (0, 3))).reshape(B, 1, 8)
+    words3 = words4.reshape(B, 1, W)
+    mpos, mld, st = pl.pallas_call(
+        _kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, W), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, CAP_M + 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, CAP_M + 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, CAP_M + 8), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, CAP_M + 8), jnp.uint32),
+            jax.ShapeDtypeStruct((B, 1, 8), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((1, HSIZE), jnp.int32),
+            pltpu.SMEM((1, (MAX_BUF + 2) // 2), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(meta, words3)
+    return mpos[:, 0], mld[:, 0], st[:, 0, 0], st[:, 0, 1] > 0
+
+
+def _to_positional(mpos, mld, nmatch, L, n_valid, start):
+    """Compact match stream -> positional (tok u8[L], length i32[L],
+    dist i32[L]) arrays, all-XLA (scatters + one cumsum)."""
+    C = mpos.shape[0]
+    valid = jnp.arange(C, dtype=jnp.int32) < nmatch
+    pos = jnp.where(valid, mpos, L)  # park dead entries out of range
+    mlen = (mld >> jnp.uint32(15)).astype(jnp.int32) + MIN_MATCH
+    mdist = (mld & jnp.uint32(0x7FFF)).astype(jnp.int32)
+    length = jnp.zeros((L + 1,), jnp.int32).at[pos].set(jnp.where(valid, mlen, 0), mode="drop")[:L]
+    dist = jnp.zeros((L + 1,), jnp.int32).at[pos].set(jnp.where(valid, mdist, 0), mode="drop")[:L]
+    # interior mask via +1/-1 deltas and a prefix sum
+    delta = jnp.zeros((L + 2,), jnp.int32)
+    delta = delta.at[jnp.where(valid, pos + 1, L + 1)].add(1, mode="drop")
+    delta = delta.at[jnp.where(valid, pos + mlen, L + 1)].add(-1, mode="drop")
+    interior = jnp.cumsum(delta[: L + 1])[:L] > 0
+    idx = jnp.arange(L, dtype=jnp.int32)
+    tok = (~interior) & (idx >= start) & (idx < n_valid)
+    return tok.astype(jnp.uint8), length, dist
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "nice", "interpret"))
 def lz_scan_pallas(words, n_valid, start, *, depth: int, nice: int, interpret: bool = False):
-    """Sequential match+parse of B chunks (grid-parallel).
+    """Sequential match+parse of B chunks; positional-array API.
 
-    words: uint32[B, L] LE32 at every byte offset (padded >= MAX_MATCH+8
-    past n_valid). Returns (tokens u8[B, L], length i32[B, L],
-    dist i32[B, L]) — a greedy/one-step-lazy tokenization whose spans
-    tile [start, n_valid) exactly.
+    words: uint32[B, L] LE32 at every byte offset (the lz77.words_le32
+    layout; only the aligned stride-4 words are read). Returns
+    (tokens u8[B, L], length i32[B, L], dist i32[B, L]) — a one-step-lazy
+    tokenization whose spans tile [start, n_valid) exactly. Lanes whose
+    match stream overflowed CAP_M return all-literal parses (callers that
+    care about density should use scan_chunks_pallas and check `bad`).
     """
     B, L = words.shape
-    nv = n_valid.astype(jnp.int32).reshape(B, 1)
-    st = start.astype(jnp.int32).reshape(B, 1)
-    dp = jnp.full((B, 1), depth, jnp.int32)
-    nc = jnp.full((B, 1), nice, jnp.int32)
-
-    tok, length, dist = pl.pallas_call(
-        _kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, L), lambda b: (b, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, L), lambda b: (b, 0)),
-            pl.BlockSpec((1, L), lambda b: (b, 0)),
-            pl.BlockSpec((1, L), lambda b: (b, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, L), jnp.uint8),
-            jax.ShapeDtypeStruct((B, L), jnp.int32),
-            jax.ShapeDtypeStruct((B, L), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((1, 1 << HASH_BITS_K), jnp.int32),
-            pltpu.VMEM((1, L), jnp.int32),
-        ],
-        interpret=interpret,
-    )(nv, st, dp, nc, words)
+    w4 = words[:, ::4]
+    pad = jnp.zeros((B, 2), jnp.uint32)
+    w4 = jnp.concatenate([w4, pad], axis=1)
+    mpos, mld, nmatch, bad = scan_chunks_pallas(
+        w4, n_valid, start, start, depth=depth, nice=nice, interpret=interpret
+    )
+    nm_eff = jnp.where(bad, 0, nmatch)
+    tok, length, dist = jax.vmap(
+        lambda mp, ml, nm, nv, stt: _to_positional(mp, ml, nm, L, nv, stt)
+    )(mpos, mld, nm_eff, n_valid.astype(jnp.int32), start.astype(jnp.int32))
     return tok, length, dist
