@@ -68,3 +68,20 @@ def test_scan_tiles_and_roundtrips(data):
     hdr, hb = _dyn_header(np.asarray(ll), np.asarray(dl), final=True)
     payload = _splice_bits(hdr, hb, np.asarray(words).view(np.uint8), int(bits))
     assert zlib.decompress(payload, -15) == data
+
+
+def test_pipeline_kernel_scan_roundtrip(monkeypatch):
+    """compress_parallel with ZRS_TPU_KERNEL=1 routes matching through the
+    SMEM scan kernel (interpret mode off-TPU) and still produces a valid
+    zlib stream with the index."""
+    monkeypatch.setenv("ZRS_TPU_KERNEL", "1")
+    from zlib_rs_tpu.parallel.pipeline import compress_parallel
+
+    rng = np.random.default_rng(11)
+    data = (
+        b"kernel scan end to end " * 400
+        + bytes(rng.integers(0, 200, 9000, dtype=np.uint64).astype(np.uint8))
+    )
+    out, idx = compress_parallel(data, level=6, chunk_size=16 * 1024, return_index=True)
+    assert zlib.decompress(out) == data
+    assert len(idx) == 2

@@ -177,6 +177,9 @@ def _kernel(meta_ref, words_ref, mpos_ref, mld_ref, st_ref, head, prev):
         iw, _pl_, _pd, _avail, _mc, b = st
         return (iw[0] < n_valid) & ~b
 
+    MAX_LAZY = 16  # pending match at least this long: skip the search
+    # (deflate_slow's max_lazy rule — the single biggest walk saver)
+
     def body(st):
         iw, plen, pdist, avail, mc, b = st
         i = iw[0]
@@ -184,7 +187,13 @@ def _kernel(meta_ref, words_ref, mpos_ref, mld_ref, st_ref, head, prev):
         cand0 = head[0, h]
         prev_set(i, cand0)
         head[0, h] = i
-        blen, bdist = best_match(i, cand0)
+        do_search = (~avail | (plen < MAX_LAZY)) & (cand0 >= 0)
+        blen, bdist = lax.cond(
+            do_search,
+            lambda a: best_match(*a),
+            lambda a: (jnp.int32(0), jnp.int32(0)),
+            (i, cand0),
+        )
 
         # one-step lazy (deflate_slow's deferral): a pending match at i-1
         # is emitted unless this position matches strictly longer
@@ -320,5 +329,26 @@ def lz_scan_pallas(words, n_valid, start, *, depth: int, nice: int, interpret: b
     nm_eff = jnp.where(bad, 0, nmatch)
     tok, length, dist = jax.vmap(
         lambda mp, ml, nm, nv, stt: _to_positional(mp, ml, nm, L, nv, stt)
+    )(mpos, mld, nm_eff, n_valid.astype(jnp.int32), start.astype(jnp.int32))
+    return tok, length, dist
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "nice", "pad", "interpret"))
+def scan_from_bytes(chunks_u8, n_valid, start, ins_from, *, depth: int, nice: int, pad: int, interpret: bool = False):
+    """Pipeline entry point: uint8[B, L] padded chunk buffers (dict prefix +
+    data + `pad` tail zeros, L % 4 == 0) -> positional (tok, length, dist)
+    of length L - pad each, via the SMEM scan kernel."""
+    B, L = chunks_u8.shape
+    if L % 4:
+        raise ValueError("chunk buffer length must be a multiple of 4")
+    b = chunks_u8.reshape(B, L // 4, 4).astype(jnp.uint32)
+    w4 = b[:, :, 0] | (b[:, :, 1] << 8) | (b[:, :, 2] << 16) | (b[:, :, 3] << 24)
+    mpos, mld, nmatch, bad = scan_chunks_pallas(
+        w4, n_valid, start, ins_from, depth=depth, nice=nice, interpret=interpret
+    )
+    n = L - pad
+    nm_eff = jnp.where(bad, 0, nmatch)
+    tok, length, dist = jax.vmap(
+        lambda mp, ml, nm, nv, stt: _to_positional(mp, ml, nm, n, nv, stt)
     )(mpos, mld, nm_eff, n_valid.astype(jnp.int32), start.astype(jnp.int32))
     return tok, length, dist

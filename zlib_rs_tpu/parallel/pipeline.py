@@ -130,12 +130,13 @@ def _level_knobs(level: int) -> dict:
     jax.jit,
     static_argnames=(
         "chunk_size", "chain_depth", "max_words", "lazy", "dynamic", "dict_size",
-        "n_seeds",
+        "n_seeds", "kernel_scan",
     ),
 )
 def _encode_batch(
     chunks, n_valid, finals, valid_from=None, *,
     chunk_size, chain_depth, max_words, lazy, dynamic, dict_size=0, n_seeds=0,
+    kernel_scan=False,
 ):
     """vmap'd chunk encoder: uint8[B, dict+chunk+PAD] -> block payloads.
 
@@ -151,6 +152,21 @@ def _encode_batch(
         valid_from = jnp.zeros_like(n_valid)
     seeds_bit = seeds_out = None
     if dynamic:
+        parse_all = None
+        if kernel_scan:
+            # SMEM hash-chain scan kernel (ops/pallas/deflate_kernel.py):
+            # exact chain walks at ~5.3ns/dependent-load instead of the
+            # XLA matcher's HBM gather tax
+            from ..ops.pallas.deflate_kernel import scan_from_bytes
+
+            B = chunks.shape[0]
+            starts = jnp.full((B,), dict_size, jnp.int32)
+            parse_all = scan_from_bytes(
+                chunks, n_valid, starts, valid_from.astype(jnp.int32),
+                depth=max(8, chain_depth),
+                nice=130 if chain_depth <= 12 else 258,
+                pad=lz77.PAD, interpret=jax.default_backend() != "tpu",
+            )
 
         def one(chunk, nv, vf):
             return dynhuff.encode_chunk_dynamic(
@@ -158,7 +174,15 @@ def _encode_batch(
                 lazy=lazy, start=dict_size, valid_from=vf, n_seeds=n_seeds,
             )
 
-        res = jax.vmap(one)(chunks, n_valid, valid_from)
+        def one_parsed(chunk, nv, t, l, d):
+            return dynhuff.encode_chunk_dynamic(
+                chunk, nv, start=dict_size, n_seeds=n_seeds, parse=(t, l, d),
+            )
+
+        if parse_all is not None:
+            res = jax.vmap(one_parsed)(chunks, n_valid, *parse_all)
+        else:
+            res = jax.vmap(one)(chunks, n_valid, valid_from)
         if n_seeds:
             words, bits, ll_lens, d_lens, seeds_bit, seeds_out = res
         else:
@@ -391,6 +415,16 @@ def compress_parallel(
 
     knobs = _level_knobs(level)
     dynamic = level >= 3
+    # SMEM scan-kernel engine (opt-in): exact hash-chain walks on the
+    # TensorCore; requires the whole chunk buffer to fit the kernel's
+    # packed u16 position space
+    from ..ops.pallas.deflate_kernel import MAX_BUF as _KMAX
+
+    kernel_scan = (
+        os.environ.get("ZRS_TPU_KERNEL") == "1"
+        and dynamic
+        and dict_size + chunk_size + lz77.PAD <= _KMAX
+    )
     # indexed dynamic chunks carry swarm-decode seeds (free at encode time)
     from .swarm_inflate import SEEDS_PER_CHUNK
 
@@ -431,7 +465,7 @@ def compress_parallel(
         words, bits, ll_lens, d_lens, sbit, sout = _encode_batch(
             dc, dn, df, dv,
             chunk_size=chunk_size, dynamic=dynamic, dict_size=dict_size,
-            n_seeds=n_seeds, **knobs
+            n_seeds=n_seeds, kernel_scan=kernel_scan, **knobs
         )
         adlers = _adler_batch_best(
             dc[:, dict_size : dict_size + chunk_size], dn - dict_size
@@ -546,10 +580,11 @@ def decompress_parallel(data: bytes, index, engine: str = "auto") -> bytes:
         return oneshot.decompress(data)
     result = None
     seeds = getattr(index, "seeds", None)
-    if engine == "tpu" and os.environ.get("ZRS_TPU_KERNEL") == "1":
-        # opt-in: the Pallas sequential-inflate kernel (no seeds needed);
-        # gated behind an env var until Mosaic compilation is validated on
-        # real hardware (interpret mode is byte-exact in tests)
+    if engine == "tpu" and os.environ.get("ZRS_TPU_KERNEL") != "0":
+        # default device decode engine: the Pallas sequential-inflate
+        # kernel (chip-validated; full RFC 1951 in SMEM, no seeds, no
+        # host table builds). Any bad lane falls through to the seeded
+        # swarm / exact engines below. ZRS_TPU_KERNEL=0 forces them.
         from . import swarm_inflate
 
         bodies = [data[off : off + ln] for off, ln, _ in index]
