@@ -357,26 +357,34 @@ def bench_device(data: bytes) -> dict:
         _log(f"encode device trace failed: {e}")
 
     # -- kernel-scan encode: the SMEM hash-chain matcher
-    # (ops/pallas/deflate_kernel.py) feeding the same XLA tree/pack
-    # stages. Chunks shrink to 48 KiB to fit the kernel's packed-u16
-    # position space; the trace normalizes per byte so the numbers stay
-    # comparable.
+    # (ops/pallas/deflate_kernel.py) running zlib's exact level-6 search
+    # rules, feeding the same XLA tree/pack stages. 32 KiB chunks with a
+    # ~31 KiB priming dict — the configuration whose exact-engine ratio
+    # measures 0.996x zlib-6 — fit the kernel's packed-u16 position space;
+    # the trace normalizes per byte so the numbers stay comparable.
     try:
       with _watchdog(1200, "kernel-scan encode"):
-        KCH = 48 * 1024
+        KCH = 32 * 1024
         KB = 32
-        karr = np.zeros((KB, KCH + lz77.PAD), np.uint8)
+        KDICT = 31976
+        karr = np.zeros((KB, KDICT + KCH + lz77.PAD), np.uint8)
+        kvf = np.zeros((KB,), np.int32)
         for k in range(KB):
             seg = flat[k * KCH : (k + 1) * KCH]
-            karr[k, : seg.shape[0]] = seg
+            karr[k, KDICT : KDICT + seg.shape[0]] = seg
+            dlen = min(KDICT, k * KCH)
+            if dlen:
+                karr[k, KDICT - dlen : KDICT] = flat[k * KCH - dlen : k * KCH]
+            kvf[k] = KDICT - dlen
         kdc = jnp.asarray(karr)
-        knv = jnp.full((KB,), KCH, jnp.int32)
+        knv = jnp.full((KB,), KDICT + KCH, jnp.int32)
         kfins = jnp.zeros((KB,), jnp.int32)
+        kvfj = jnp.asarray(kvf)
 
         def kernel_once():
             return P._encode_batch(
-                kdc, knv, kfins, chunk_size=KCH, dynamic=True,
-                kernel_scan=True, **knobs
+                kdc, knv, kfins, kvfj, chunk_size=KCH, dynamic=True,
+                dict_size=KDICT, kernel_scan=True, **knobs
             )
 
         jax.block_until_ready(kernel_once())
@@ -392,6 +400,27 @@ def bench_device(data: bytes) -> dict:
             )
     except Exception as e:
         _log(f"kernel-scan encode skipped: {e}")
+
+    # -- kernel-path ratio: the full corpus through compress_parallel with
+    # the scan kernel on the real chip (fetches ~half the corpus size of
+    # compressed bytes; watchdogged against tunnel wedges)
+    try:
+      with _watchdog(1500, "kernel ratio"):
+        import zlib as _z
+
+        os.environ["ZRS_TPU_KERNEL"] = "1"
+        try:
+            from zlib_rs_tpu.parallel.pipeline import compress_parallel as _cp
+
+            comp = _cp(bytes(data), level=LEVEL, chunk_size=32 * 1024)
+        finally:
+            os.environ.pop("ZRS_TPU_KERNEL", None)
+        assert _z.decompress(comp) == data
+        zref = len(_z.compress(bytes(data), LEVEL))
+        dev["kernel_ratio_vs_zlib"] = round(len(comp) / zref, 4)
+        _log(f"kernel-path ratio (chip round-trip verified) {dev['kernel_ratio_vs_zlib']}")
+    except Exception as e:
+        _log(f"kernel ratio skipped: {e}")
 
     # -- swarm decode: seed-parallel exact decode of our own indexed
     # stream (parallel/swarm_inflate). The seeded stream is built by a
@@ -625,7 +654,13 @@ def main():
         "value": round(headline, 5),
         "unit": "GB/s",
         "vs_baseline": round(headline / base6, 4) if base6 else None,
-        "ratio_vs_zlib": device.get("ratio_vs_zlib"),
+        "ratio_vs_zlib": (
+            device.get("kernel_ratio_vs_zlib")
+            if device.get("kernel_ratio_vs_zlib") is not None
+            and (device.get("kernel_encode_trace_gbps") or 0.0)
+            >= (device.get("encode_trace_gbps") or 0.0)
+            else device.get("ratio_vs_zlib")
+        ),
         "measurement_note": (
             "value = level-6 chunk-parallel encode GB/s/chip from the "
             "jax.profiler DEVICE trace (TPU-lane jit span / dispatches). "

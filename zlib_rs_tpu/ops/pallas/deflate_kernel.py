@@ -33,13 +33,28 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-HASH_BITS = 14
+HASH_BITS = 15  # zlib's hash_bits: 3-byte rolling hash, 32K heads
 HSIZE = 1 << HASH_BITS
 MIN_MATCH = 3
 MAX_MATCH = 258
 MAX_DIST = 32768
 CAP_M = 20480  # max matches per chunk; >= this flags bad (fallback)
 MAX_BUF = 65024  # dict + data ceiling (u16 chain positions, 0xFFFF = NIL)
+
+# zlib's CONFIGURATION_TABLE (good, max_lazy, nice, chain) — the scan
+# reproduces deflate_slow's decision rules, so the knobs map 1:1
+# (reference: zlib-rs/src/deflate/algorithm/mod.rs:69-82)
+ZLIB_CONFIG = {
+    1: (4, 4, 8, 4),
+    2: (4, 5, 16, 8),
+    3: (4, 6, 32, 32),
+    4: (4, 4, 16, 16),
+    5: (8, 16, 32, 32),
+    6: (8, 16, 128, 128),
+    7: (8, 32, 128, 256),
+    8: (32, 128, 258, 1024),
+    9: (32, 258, 258, 4096),
+}
 
 
 def _kernel(meta_ref, words_ref, mpos_ref, mld_ref, st_ref, head, prev):
@@ -49,6 +64,8 @@ def _kernel(meta_ref, words_ref, mpos_ref, mld_ref, st_ref, head, prev):
     ins_from = meta_ref[0, 0, 2]
     depth = meta_ref[0, 0, 3]
     nice = meta_ref[0, 0, 4]
+    good = meta_ref[0, 0, 5]
+    max_lazy = meta_ref[0, 0, 6]
 
     def get32(p):
         wi = p >> 2
@@ -62,9 +79,17 @@ def _kernel(meta_ref, words_ref, mpos_ref, mld_ref, st_ref, head, prev):
         return (w >> ((p & 3) << 3).astype(jnp.uint32)) & jnp.uint32(0xFF)
 
     def hash_at(i):
-        return (
-            (get32(i) * jnp.uint32(2654435761)) >> jnp.uint32(32 - HASH_BITS)
-        ).astype(jnp.int32)
+        # zlib's 3-byte rolling hash evaluated directly: after inserting
+        # b0,b1,b2 with h = ((h << 5) ^ b) the accumulated value is
+        # (b0 << 10) ^ (b1 << 5) ^ b2, masked to hash_bits
+        # (deflate.rs hash_calc.rs RollHashCalc semantics)
+        w = get32(i)
+        h = (
+            ((w & jnp.uint32(0xFF)) << jnp.uint32(10))
+            ^ (((w >> jnp.uint32(8)) & jnp.uint32(0xFF)) << jnp.uint32(5))
+            ^ ((w >> jnp.uint32(16)) & jnp.uint32(0xFF))
+        )
+        return (h & jnp.uint32(HSIZE - 1)).astype(jnp.int32)
 
     def prev_set(i, v):
         v16 = jnp.where(v < 0, jnp.uint32(0xFFFF), v.astype(jnp.uint32))
@@ -117,14 +142,22 @@ def _kernel(meta_ref, words_ref, mpos_ref, mld_ref, st_ref, head, prev):
         tail = t0.astype(jnp.int32) + t1.astype(jnp.int32) + t2.astype(jnp.int32)
         return jnp.minimum(k + jnp.where(x == 0, 0, tail), cap)
 
-    GOOD_MATCH = 8  # chain budget shrinks once a good match is in hand
-
-    def best_match(i, cand0):
+    def best_match(i, cand0, plen_in):
+        """zlib's longest_match, decision-for-decision: best_len starts at
+        the pending match length, the chain budget quarters ONCE at entry
+        when the pending match is already good (longest_match.rs:76-79),
+        every visited candidate costs one budget unit, and the walk stops
+        at nice_match. Returns (len, dist) only when strictly better than
+        the pending match, else (0, 0); the TOO_FAR demotion (a len-3
+        match further than 4096 back) also returns (0, 0)."""
         cap = jnp.minimum(n_valid - i, MAX_MATCH)
+        nice_eff = jnp.minimum(nice, cap)
+        budget = jnp.where(plen_in >= good, depth >> 2, depth)
+        bl0 = plen_in
 
         def wcond(st):
             cand, d, bl, _bd, _eb = st
-            return (cand >= 0) & (i - cand <= MAX_DIST) & (d < depth) & (bl < nice)
+            return (cand >= 0) & (i - cand <= MAX_DIST) & (d < budget) & (bl < nice_eff)
 
         def wbody(st):
             cand, d, bl, bd, endb = st
@@ -135,11 +168,9 @@ def _kernel(meta_ref, words_ref, mpos_ref, mld_ref, st_ref, head, prev):
             ml = jnp.where(anchor_ok, match_len(i, cand, cap), 0)
             better = ml > bl
             nbl = jnp.where(better, ml, bl)
-            # the budget quarters once bl >= GOOD_MATCH
-            # (longest_match.rs:76-79), approximated by a 4x step
             return (
                 prev_get(cand),
-                d + jnp.where(nbl >= GOOD_MATCH, 4, 1),
+                d + 1,
                 nbl,
                 jnp.where(better, i - cand, bd),
                 jnp.where(better, byte_at(i + jnp.minimum(ml, cap - 1)), endb),
@@ -148,18 +179,25 @@ def _kernel(meta_ref, words_ref, mpos_ref, mld_ref, st_ref, head, prev):
         _c, _d, bl, bd, _eb = lax.while_loop(
             wcond,
             wbody,
-            (cand0, jnp.int32(0), jnp.int32(0), jnp.int32(0), byte_at(i)),
+            (cand0, jnp.int32(0), bl0, jnp.int32(0), byte_at(i + bl0)),
         )
-        reject = (bl < MIN_MATCH) | ((bl == MIN_MATCH) & (bd > 4096))
+        found = bl > bl0
+        reject = (
+            ~found
+            | (bl < MIN_MATCH)
+            | ((bl == MIN_MATCH) & (bd > 4096))
+        )
         return jnp.where(reject, 0, bl), jnp.where(reject, 0, bd)
 
     def emit(mc, pos, mlen, mdist, do_it, b):
-        # branchless append: dead writes land in the CAP_M.. slack slots
+        # branchless append: dead writes land in the CAP_M.. slack slots.
+        # dist is stored as dist-1 so the full legal range 1..32768 fits
+        # the 15-bit field (dist=32768 would otherwise wrap to 0)
         slot = jnp.where(do_it & (mc < CAP_M), mc, CAP_M)
         mpos_ref[0, 0, slot] = pos
         mld_ref[0, 0, slot] = (
             (mlen - MIN_MATCH).astype(jnp.uint32) << jnp.uint32(15)
-        ) | mdist.astype(jnp.uint32)
+        ) | (mdist - 1).astype(jnp.uint32)
         b = b | (do_it & (mc >= CAP_M))
         return mc + do_it.astype(jnp.int32), b
 
@@ -177,9 +215,6 @@ def _kernel(meta_ref, words_ref, mpos_ref, mld_ref, st_ref, head, prev):
         iw, _pl_, _pd, _avail, _mc, b = st
         return (iw[0] < n_valid) & ~b
 
-    MAX_LAZY = 16  # pending match at least this long: skip the search
-    # (deflate_slow's max_lazy rule — the single biggest walk saver)
-
     def body(st):
         iw, plen, pdist, avail, mc, b = st
         i = iw[0]
@@ -187,17 +222,20 @@ def _kernel(meta_ref, words_ref, mpos_ref, mld_ref, st_ref, head, prev):
         cand0 = head[0, h]
         prev_set(i, cand0)
         head[0, h] = i
-        do_search = (~avail | (plen < MAX_LAZY)) & (cand0 >= 0)
+        # deflate_slow's max_lazy rule: a pending match at least max_lazy
+        # long skips the search entirely (the single biggest walk saver)
+        do_search = (~avail | (plen < max_lazy)) & (cand0 >= 0)
         blen, bdist = lax.cond(
             do_search,
             lambda a: best_match(*a),
             lambda a: (jnp.int32(0), jnp.int32(0)),
-            (i, cand0),
+            (i, cand0, jnp.where(avail, plen, 0)),
         )
 
         # one-step lazy (deflate_slow's deferral): a pending match at i-1
         # is emitted unless this position matches strictly longer
-        emit_prev = avail & (plen >= blen) & (plen >= MIN_MATCH)
+        # (best_match returns 0 unless it beat plen)
+        emit_prev = avail & (blen == 0) & (plen >= MIN_MATCH)
         mc, b = emit(mc, i - 1, plen, pdist, emit_prev, b)
 
         @pl.when(emit_prev)
@@ -233,16 +271,24 @@ def _kernel(meta_ref, words_ref, mpos_ref, mld_ref, st_ref, head, prev):
     st_ref[0, 0, 3] = 0
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "nice", "interpret"))
-def scan_chunks_pallas(words4, n_valid, start, ins_from, *, depth: int, nice: int, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("depth", "nice", "good", "max_lazy", "interpret")
+)
+def scan_chunks_pallas(
+    words4, n_valid, start, ins_from, *,
+    depth: int, nice: int, good: int = 8, max_lazy: int = 16,
+    interpret: bool = False,
+):
     """Hash-chain scan of B chunks (grid-sequential, DMA-overlapped).
 
     words4: uint32[B, W] ALIGNED LE32-packed chunk bytes (>= 2 words zero
     tail padding; dict prefix + data <= MAX_BUF). n_valid: total valid
     bytes; start: first emittable position; ins_from: first hashable
     position (dict priming inserts [ins_from, start)).
+    (depth, nice, good, max_lazy) are zlib's (max_chain, nice_length,
+    good_length, max_lazy) level knobs — see ZLIB_CONFIG.
     Returns (mpos i32[B, CAP_M+8], mld u32[B, CAP_M+8], nmatch i32[B],
-    bad bool[B]); mld packs (len-3) << 15 | dist.
+    bad bool[B]); mld packs (len-3) << 15 | (dist-1).
     """
     B, W = words4.shape
     if (W - 2) * 4 > MAX_BUF + 8:
@@ -257,10 +303,12 @@ def scan_chunks_pallas(words4, n_valid, start, ins_from, *, depth: int, nice: in
             ins_from.astype(jnp.int32),
             jnp.full((B,), depth, jnp.int32),
             jnp.full((B,), nice, jnp.int32),
+            jnp.full((B,), good, jnp.int32),
+            jnp.full((B,), max_lazy, jnp.int32),
         ],
         axis=1,
     )
-    meta = jnp.pad(meta, ((0, 0), (0, 3))).reshape(B, 1, 8)
+    meta = jnp.pad(meta, ((0, 0), (0, 1))).reshape(B, 1, 8)
     words3 = words4.reshape(B, 1, W)
     mpos, mld, st = pl.pallas_call(
         _kernel,
@@ -295,7 +343,7 @@ def _to_positional(mpos, mld, nmatch, L, n_valid, start):
     valid = jnp.arange(C, dtype=jnp.int32) < nmatch
     pos = jnp.where(valid, mpos, L)  # park dead entries out of range
     mlen = (mld >> jnp.uint32(15)).astype(jnp.int32) + MIN_MATCH
-    mdist = (mld & jnp.uint32(0x7FFF)).astype(jnp.int32)
+    mdist = (mld & jnp.uint32(0x7FFF)).astype(jnp.int32) + 1
     length = jnp.zeros((L + 1,), jnp.int32).at[pos].set(jnp.where(valid, mlen, 0), mode="drop")[:L]
     dist = jnp.zeros((L + 1,), jnp.int32).at[pos].set(jnp.where(valid, mdist, 0), mode="drop")[:L]
     # interior mask via +1/-1 deltas and a prefix sum
@@ -308,8 +356,14 @@ def _to_positional(mpos, mld, nmatch, L, n_valid, start):
     return tok.astype(jnp.uint8), length, dist
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "nice", "interpret"))
-def lz_scan_pallas(words, n_valid, start, *, depth: int, nice: int, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("depth", "nice", "good", "max_lazy", "interpret")
+)
+def lz_scan_pallas(
+    words, n_valid, start, *,
+    depth: int, nice: int, good: int = 8, max_lazy: int = 16,
+    interpret: bool = False,
+):
     """Sequential match+parse of B chunks; positional-array API.
 
     words: uint32[B, L] LE32 at every byte offset (the lz77.words_le32
@@ -324,7 +378,8 @@ def lz_scan_pallas(words, n_valid, start, *, depth: int, nice: int, interpret: b
     pad = jnp.zeros((B, 2), jnp.uint32)
     w4 = jnp.concatenate([w4, pad], axis=1)
     mpos, mld, nmatch, bad = scan_chunks_pallas(
-        w4, n_valid, start, start, depth=depth, nice=nice, interpret=interpret
+        w4, n_valid, start, start, depth=depth, nice=nice, good=good,
+        max_lazy=max_lazy, interpret=interpret
     )
     nm_eff = jnp.where(bad, 0, nmatch)
     tok, length, dist = jax.vmap(
@@ -333,8 +388,15 @@ def lz_scan_pallas(words, n_valid, start, *, depth: int, nice: int, interpret: b
     return tok, length, dist
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "nice", "pad", "interpret"))
-def scan_from_bytes(chunks_u8, n_valid, start, ins_from, *, depth: int, nice: int, pad: int, interpret: bool = False):
+@functools.partial(
+    jax.jit,
+    static_argnames=("depth", "nice", "good", "max_lazy", "pad", "interpret"),
+)
+def scan_from_bytes(
+    chunks_u8, n_valid, start, ins_from, *,
+    depth: int, nice: int, good: int = 8, max_lazy: int = 16,
+    pad: int, interpret: bool = False,
+):
     """Pipeline entry point: uint8[B, L] padded chunk buffers (dict prefix +
     data + `pad` tail zeros, L % 4 == 0) -> positional (tok, length, dist)
     of length L - pad each, via the SMEM scan kernel."""
@@ -344,7 +406,8 @@ def scan_from_bytes(chunks_u8, n_valid, start, ins_from, *, depth: int, nice: in
     b = chunks_u8.reshape(B, L // 4, 4).astype(jnp.uint32)
     w4 = b[:, :, 0] | (b[:, :, 1] << 8) | (b[:, :, 2] << 16) | (b[:, :, 3] << 24)
     mpos, mld, nmatch, bad = scan_chunks_pallas(
-        w4, n_valid, start, ins_from, depth=depth, nice=nice, interpret=interpret
+        w4, n_valid, start, ins_from, depth=depth, nice=nice, good=good,
+        max_lazy=max_lazy, interpret=interpret
     )
     n = L - pad
     nm_eff = jnp.where(bad, 0, nmatch)

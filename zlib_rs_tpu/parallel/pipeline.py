@@ -112,31 +112,36 @@ def _level_knobs(level: int) -> dict:
     Plays the role of CONFIGURATION_TABLE (algorithm/mod.rs:69-82) for the
     TPU path: deeper chains + longer word scans + lazy at higher levels.
     """
+    from ..ops.pallas.deflate_kernel import ZLIB_CONFIG
+
+    # kernel_cfg = zlib's exact (good, max_lazy, nice, chain) for the SMEM
+    # scan kernel, which reproduces deflate_slow decision-for-decision
+    kcfg = ZLIB_CONFIG[min(max(level, 1), 9)]
     if level <= 1:
-        return dict(chain_depth=1, max_words=8, lazy=False)
+        return dict(chain_depth=1, max_words=8, lazy=False, kernel_cfg=kcfg)
     if level <= 3:
-        return dict(chain_depth=4, max_words=16, lazy=False)
+        return dict(chain_depth=4, max_words=16, lazy=False, kernel_cfg=kcfg)
     if level <= 6:
         # staged two-phase scan makes deep chains cheap enough to hit the
         # <=1.03 ratio target at level 6 (measured 1.0298 on the bench
         # corpus with depth 12)
-        return dict(chain_depth=12, max_words=32, lazy=True)
+        return dict(chain_depth=12, max_words=32, lazy=True, kernel_cfg=kcfg)
     if level <= 8:
-        return dict(chain_depth=16, max_words=32, lazy=True)
-    return dict(chain_depth=24, max_words=64, lazy=True)
+        return dict(chain_depth=16, max_words=32, lazy=True, kernel_cfg=kcfg)
+    return dict(chain_depth=24, max_words=64, lazy=True, kernel_cfg=kcfg)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "chunk_size", "chain_depth", "max_words", "lazy", "dynamic", "dict_size",
-        "n_seeds", "kernel_scan",
+        "n_seeds", "kernel_scan", "kernel_cfg",
     ),
 )
 def _encode_batch(
     chunks, n_valid, finals, valid_from=None, *,
     chunk_size, chain_depth, max_words, lazy, dynamic, dict_size=0, n_seeds=0,
-    kernel_scan=False,
+    kernel_scan=False, kernel_cfg=None,
 ):
     """vmap'd chunk encoder: uint8[B, dict+chunk+PAD] -> block payloads.
 
@@ -161,10 +166,10 @@ def _encode_batch(
 
             B = chunks.shape[0]
             starts = jnp.full((B,), dict_size, jnp.int32)
+            good, mlazy, nice, chain = kernel_cfg or (8, 16, 128, 128)
             parse_all = scan_from_bytes(
                 chunks, n_valid, starts, valid_from.astype(jnp.int32),
-                depth=max(8, chain_depth),
-                nice=130 if chain_depth <= 12 else 258,
+                depth=chain, nice=nice, good=good, max_lazy=mlazy,
                 pad=lz77.PAD, interpret=jax.default_backend() != "tpu",
             )
 
@@ -394,6 +399,15 @@ def compress_parallel(
     if return_index:
         prime_dict = False
     dict_size = 32768 if (prime_dict and level >= 2 and n_chunks > 1) else 0
+    # the SMEM scan kernel needs dict + chunk + PAD to fit its packed-u16
+    # position space; shrink the priming dict (never below 16 KiB) rather
+    # than lose the kernel engine — the ratio cost is ~0.01%
+    if os.environ.get("ZRS_TPU_KERNEL") == "1" and dict_size:
+        from ..ops.pallas.deflate_kernel import MAX_BUF as _KMAX0
+
+        room = _KMAX0 - chunk_size - lz77.PAD
+        if 8192 <= room < dict_size:
+            dict_size = room & ~7
     padded = np.zeros((n_chunks, dict_size + chunk_size + lz77.PAD), np.uint8)
     flat = np.frombuffer(data, np.uint8)
     valid_from = np.zeros(n_chunks, np.int32)
