@@ -1,33 +1,36 @@
 """Benchmark driver: the framework's Silesia-style matrix + device headline.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} —
+ALWAYS, even when every device phase fails: main() runs under a global
+wall-clock budget (ZRS_BENCH_BUDGET_S, default 2100s) and each phase is
+gated on the time remaining, so the driver's own timeout never fires first
+(round-2 failure mode: rc=124, no JSON captured).
 
 Corpus: a deterministic "silesia-proxy" tar (~8 MiB) mixing text
 (lcet10.txt), PDF, JPEG (incompressible), executables, and JS source from
 the reference's vendored test-data plus system binaries — the real
 silesia-small.tar is not vendored in the reference checkout and this image
 has no network egress, so the matrix mirrors the reference's benchmark
-STRUCTURE (per-level compress + chunked-decode sweep,
+STRUCTURE (per-level compress sweep 0-9 + chunked-decode sweep 2^4..2^24,
 zlib_benchmarks.json / bench.yml:33-64) on an honest stand-in corpus.
 
 Sections reported:
-  cpu_zlib      — stdlib zlib compress (levels 1/6/9) + decompress, the
+  cpu_zlib      — stdlib zlib compress (levels 0-9) + decompress, the
                   stand-in for zlib-rs (byte-identical output at every
                   level: tests/test_bitexact.py).
   native        — C++ engine one-shot (byte-identical to zlib => ratio is
-                  exactly 1.0) and threaded chunk-parallel, plus one-shot
-                  and threaded parallel inflate.
-  device        — TPU chunk-parallel encode at level 6 and turbo decode,
-                  timed from a jax.profiler DEVICE TRACE (the per-op
-                  device timeline). On this tunnel-attached chip,
+                  exactly 1.0) and threaded chunk-parallel, plus one-shot,
+                  threaded-parallel and speculative inflate.
+  device        — TPU phases ordered most-valuable-first: SMEM kernel-scan
+                  encode, Pallas inflate kernel, chip-verified kernel-path
+                  ratio, swarm decode, then (only if time remains) the
+                  legacy XLA encode. All throughputs are from jax.profiler
+                  DEVICE traces: on this tunnel-attached chip
                   block_until_ready does NOT reliably sync — wall-clock
-                  dispatch loops and even data-chained variants measured
-                  up to ~40x optimistic vs the device trace, so the trace
-                  span is the only number treated as real. The raw
-                  dispatch-loop figure is still recorded as enqueue_gbps
-                  for comparison, clearly labeled.
+                  dispatch loops measured up to ~40x optimistic, so the
+                  trace span is the only number treated as real.
   decode_sweep  — chunked-input streaming decode (input fed in 2^N-byte
-                  pieces), mirroring blogpost-uncompress.rs.
+                  pieces, N=4..24), mirroring blogpost-uncompress.rs.
 
 Headline metric: device sustained encode GB/s at level 6 from the device
 trace. vs_baseline compares against single-thread CPU zlib at level 6.
@@ -50,9 +53,19 @@ import numpy as np
 TESTDATA = Path("/root/reference/test-libz-rs-sys/src/test-data")
 TARGET_SIZE = 8 * 1024 * 1024
 CHUNK = 128 * 1024
+KCHUNK = 32 * 1024  # the kernel-engine chunk size (SMEM position space)
 BATCH = 16
 LEVEL = 6
 LEVELS_MATRIX = (1, 6, 9)
+LEVELS_SWEEP = tuple(range(10))
+
+T0 = time.monotonic()
+BUDGET = float(os.environ.get("ZRS_BENCH_BUDGET_S", "2100"))
+PHASE_SECONDS = {}
+
+
+def remaining() -> float:
+    return BUDGET - (time.monotonic() - T0)
 
 
 def load_corpus() -> bytes:
@@ -87,6 +100,22 @@ def _log(msg):
     print(f"# bench: {msg}", file=sys.stderr, flush=True)
 
 
+def _phase(name):
+    """Record phase wall time; usage: with _phase('x'): ..."""
+
+    class _P:
+        def __enter__(self):
+            self.t = time.monotonic()
+
+        def __exit__(self, *exc):
+            PHASE_SECONDS[name] = round(
+                PHASE_SECONDS.get(name, 0.0) + time.monotonic() - self.t, 1
+            )
+            return False
+
+    return _P()
+
+
 def _time_best(fn, reps=3):
     best = float("inf")
     for _ in range(reps):
@@ -98,10 +127,11 @@ def _time_best(fn, reps=3):
 
 def bench_cpu(data: bytes) -> dict:
     n = len(data)
-    out = {"compress": {}, }
+    out = {"compress": {}}
     zstreams = {}
-    for lvl in LEVELS_MATRIX:
-        t = _time_best(lambda l=lvl: zlib.compress(data, l), reps=2)
+    for lvl in LEVELS_SWEEP:
+        reps = 2 if lvl in LEVELS_MATRIX else 1
+        t = _time_best(lambda l=lvl: zlib.compress(data, l), reps=reps)
         zstreams[lvl] = zlib.compress(data, lvl)
         out["compress"][str(lvl)] = {
             "gbps": round(n / t / 1e9, 4),
@@ -120,9 +150,12 @@ def bench_native(data: bytes, zstreams: dict) -> dict:
         return {"available": False}
     n = len(data)
     out = {"available": True, "compress": {}, "parallel_compress": {}}
-    for lvl in LEVELS_MATRIX:
+    for lvl in LEVELS_SWEEP:
+        reps = 2 if lvl in LEVELS_MATRIX else 1
         raw = native.deflate_chunk(data, level=lvl, final=True)
-        t = _time_best(lambda l=lvl: native.deflate_chunk(data, level=l, final=True), reps=2)
+        t = _time_best(
+            lambda l=lvl: native.deflate_chunk(data, level=l, final=True), reps=reps
+        )
         zref = zstreams[lvl]
         # zlib stream = 2-byte hdr + raw + 4-byte adler; compare raw-to-raw
         out["compress"][str(lvl)] = {
@@ -130,8 +163,12 @@ def bench_native(data: bytes, zstreams: dict) -> dict:
             "ratio_vs_zlib": round(len(raw) / (len(zref) - 6), 4),
             "bit_exact": raw == zref[2:-4],
         }
+    for lvl in LEVELS_MATRIX:
+        zref = zstreams[lvl]
         tp = _time_best(
-            lambda l=lvl: native.deflate_parallel(data, level=l, chunk_size=CHUNK, prime_dict=True),
+            lambda l=lvl: native.deflate_parallel(
+                data, level=l, chunk_size=CHUNK, prime_dict=True
+            ),
             reps=2,
         )
         pout = native.deflate_parallel(data, level=lvl, chunk_size=CHUNK, prime_dict=True)
@@ -167,17 +204,18 @@ def bench_native(data: bytes, zstreams: dict) -> dict:
 
 
 def bench_decode_sweep(data: bytes) -> dict:
-    """Streaming decode with input fed in 2^N-byte pieces (the reference's
-    blogpost-uncompress chunked sweep) through the host Inflator on a 512 KiB
-    slice (the host engine is the semantics-reference path, not the fast
-    path; the native numbers above are the throughput story)."""
+    """Streaming decode with input fed in 2^N-byte pieces for N=4..24 (the
+    reference's blogpost-uncompress chunked sweep, bench.yml:55-64) through
+    the host Inflator on a 256 KiB slice (the host engine is the
+    semantics-reference path, not the fast path; the native numbers above
+    are the throughput story)."""
     from zlib_rs_tpu.models.inflate import Inflator
     from zlib_rs_tpu.config import InflateConfig, InflateFlush
 
-    slice_ = data[: 512 * 1024]
+    slice_ = data[: 256 * 1024]
     z = zlib.compress(slice_, LEVEL)
     out = {}
-    for nbits in (14, 17, 20):
+    for nbits in range(4, 25):
         step = 1 << nbits
         t0 = time.perf_counter()
         inf = Inflator(InflateConfig(window_bits=15))
@@ -186,6 +224,7 @@ def bench_decode_sweep(data: bytes) -> dict:
             _rc, _consumed, chunk = inf.inflate(z[i : i + step], None, InflateFlush.NO_FLUSH)
             produced += len(chunk)
         dt = time.perf_counter() - t0
+        assert produced == len(slice_)
         out[f"2^{nbits}"] = round(len(slice_) / dt / 1e6, 2)  # MB/s
     return out
 
@@ -218,21 +257,6 @@ with open({OUT!r}, "wb") as f:
 print("SEEDED ok", flush=True)
 """
 
-DEVICE_CHILD = r"""
-import sys, time, json, zlib
-sys.path.insert(0, {REPO!r})
-import numpy as np, jax, jax.numpy as jnp
-from bench import load_corpus, CHUNK, LEVEL
-from zlib_rs_tpu.parallel.pipeline import compress_parallel
-data = load_corpus()
-t0 = time.perf_counter()
-comp = compress_parallel(data, level=LEVEL, chunk_size=CHUNK)
-e2e_cold = time.perf_counter() - t0
-assert zlib.decompress(comp) == data
-zref = len(zlib.compress(data, LEVEL))
-print('RESULT ' + json.dumps({'e2e_cold': e2e_cold, 'ratio': len(comp)/zref}), flush=True)
-"""
-
 
 class _watchdog:
     """SIGALRM-based phase timeout: the tunnel-attached chip can wedge any
@@ -240,7 +264,7 @@ class _watchdog:
     these so the bench always terminates and prints its JSON line."""
 
     def __init__(self, seconds, label):
-        self.seconds = seconds
+        self.seconds = max(1, int(seconds))
         self.label = label
 
     def __enter__(self):
@@ -301,18 +325,199 @@ def _device_trace_seconds(dispatch, reps: int, tag: str, timeout_s: int):
     return total / reps, {k: round(v, 4) for k, v in per_prog.items()}
 
 
-def bench_device(data: bytes) -> dict:
+def _phase_kernel_encode(data, flat, dev):
+    """SMEM hash-chain scan encode (ops/pallas/deflate_kernel.py) running
+    zlib's exact level-6 search rules, feeding the same XLA tree/pack
+    stages — at the kernel engine's native configuration: 32 KiB chunks +
+    a ~31 KiB priming dict (the setup whose exact-engine ratio measures
+    <= 1.0x zlib-6). The trace normalizes per input byte."""
     import jax
     import jax.numpy as jnp
 
     from zlib_rs_tpu.ops import lz77
     from zlib_rs_tpu.parallel import pipeline as P
 
-    n = len(data)
-    dev = {}
-    _log("device measurement first (no prior fetch)")
     knobs = P._level_knobs(LEVEL)
-    flat = np.frombuffer(data, np.uint8)
+    KB = 8  # small batch: the trace only needs a steady-state rate
+    KDICT = 31976
+    karr = np.zeros((KB, KDICT + KCHUNK + lz77.PAD), np.uint8)
+    kvf = np.zeros((KB,), np.int32)
+    for k in range(KB):
+        seg = flat[k * KCHUNK : (k + 1) * KCHUNK]
+        karr[k, KDICT : KDICT + seg.shape[0]] = seg
+        dlen = min(KDICT, k * KCHUNK)
+        if dlen:
+            karr[k, KDICT - dlen : KDICT] = flat[k * KCHUNK - dlen : k * KCHUNK]
+        kvf[k] = KDICT - dlen
+    kdc = jnp.asarray(karr)
+    knv = jnp.full((KB,), KDICT + KCHUNK, jnp.int32)
+    kfins = jnp.zeros((KB,), jnp.int32)
+    kvfj = jnp.asarray(kvf)
+
+    def kernel_once():
+        return P._encode_batch(
+            kdc, knv, kfins, kvfj, chunk_size=KCHUNK, dynamic=True,
+            dict_size=KDICT, kernel_scan=True, **knobs
+        )
+
+    with _watchdog(min(480, remaining() - 30), "kernel-scan encode compile"):
+        jax.block_until_ready(kernel_once())
+    _log("kernel-scan encode compiled")
+    sec, progs = _device_trace_seconds(
+        kernel_once, 1, "kencode", min(420, remaining() - 30)
+    )
+    if sec:
+        dev["kernel_encode_trace_s_per_batch"] = round(sec, 3)
+        dev["kernel_encode_trace_gbps"] = round(KB * KCHUNK / sec / 1e9, 5)
+        dev["kernel_encode_trace_programs"] = progs
+        _log(
+            f"kernel-scan encode device-trace "
+            f"{dev['kernel_encode_trace_gbps']} GB/s ({sec:.2f}s/batch)"
+        )
+
+
+def _phase_pallas_inflate(data, dev):
+    """Pallas sequential-inflate kernel over independently-coded 32 KiB
+    chunk bodies (the kernel engine's decode configuration). Bodies come
+    from the native engine (bit-exact, instant) — the kernel decodes any
+    raw-deflate stream, so the producer doesn't matter."""
+    import jax
+    import jax.numpy as jnp
+
+    from zlib_rs_tpu import native as NV
+    from zlib_rs_tpu.parallel import swarm_inflate as SW
+
+    if not NV.available():
+        raise RuntimeError("native engine unavailable for body generation")
+    NB = 16
+    bodies = [
+        NV.deflate_chunk(data[k * KCHUNK : (k + 1) * KCHUNK], level=LEVEL, final=True)
+        for k in range(NB)
+    ]
+    out_sizes = [KCHUNK] * NB
+    with _watchdog(min(420, remaining() - 30), "pallas inflate compile+verify"):
+        parts = SW.decode_chunks_kernel(bodies, out_sizes, interpret=False)
+        exp = data[: NB * KCHUNK]
+        assert b"".join(parts) == exp, "pallas inflate kernel output mismatch"
+    _log("pallas inflate kernel: chip compile + decode verified")
+
+    dispatch = SW.make_kernel_dispatch(bodies, out_sizes)
+    sec, _progs = _device_trace_seconds(
+        dispatch, 1, "pallas_kernel", min(360, remaining() - 30)
+    )
+    if sec:
+        dev["pallas_inflate_kernel_trace_s"] = round(sec, 3)
+        dev["pallas_inflate_kernel_gbps"] = round(sum(out_sizes) / sec / 1e9, 5)
+        _log(
+            f"pallas inflate kernel device-trace "
+            f"{dev['pallas_inflate_kernel_gbps']} GB/s"
+        )
+
+
+def _phase_kernel_ratio(data, dev):
+    """Chip-verified kernel-path ratio at the kernel engine configuration.
+    The measured kernel encode rate sizes the prefix so this phase fits its
+    time box; ratio_bytes records what was actually compressed."""
+    import zlib as _z
+
+    rate = (dev.get("kernel_encode_trace_gbps") or 0.004) * 1e9  # bytes/s
+    box = min(600.0, remaining() - 120)
+    if box < 120:
+        raise TimeoutError("no time box left for kernel ratio")
+    nbytes = int(min(len(data), max(1 << 20, rate * box * 0.6)))
+    nbytes = (nbytes // KCHUNK) * KCHUNK
+    prefix = bytes(data[:nbytes])
+    os.environ["ZRS_TPU_KERNEL"] = "1"
+    try:
+        from zlib_rs_tpu.parallel.pipeline import compress_parallel as _cp
+
+        with _watchdog(box, "kernel ratio"):
+            comp = _cp(prefix, level=LEVEL, chunk_size=KCHUNK)
+    finally:
+        os.environ.pop("ZRS_TPU_KERNEL", None)
+    assert _z.decompress(comp) == prefix
+    zref = len(_z.compress(prefix, LEVEL))
+    dev["kernel_ratio_vs_zlib"] = round(len(comp) / zref, 4)
+    dev["kernel_ratio_bytes"] = nbytes
+    _log(
+        f"kernel-path ratio (chip round-trip verified) "
+        f"{dev['kernel_ratio_vs_zlib']} over {nbytes} bytes"
+    )
+
+
+def _phase_swarm(seed_pkl, dev):
+    """Seed-parallel exact decode of our own indexed stream
+    (parallel/swarm_inflate); seeds come from the CPU-pinned child."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    from zlib_rs_tpu.parallel import swarm_inflate as SW
+
+    blob = pickle.load(open(seed_pkl, "rb"))
+    seeded = [k for k, s in enumerate(blob["seeds"]) if s is not None]
+    bodies = [
+        blob["comp"][blob["index"][k][0] : blob["index"][k][0] + blob["index"][k][1]]
+        for k in seeded
+    ]
+    out_sizes = [blob["index"][k][2] for k in seeded]
+    seeds = [blob["seeds"][k] for k in seeded]
+    tile = 4  # 64 lanes: enough walkers to amortize per-op overhead
+    Bsw = len(bodies) * tile
+    S = SW.SEEDS_PER_CHUNK
+    Ld = max(len(b) for b in bodies) + 12
+    compd = np.zeros((Bsw, Ld), np.uint8)
+    ll = np.zeros((Bsw, 320), np.int32)
+    dd = np.zeros((Bsw, 320), np.int32)
+    sbit = np.zeros((Bsw, S), np.int32)
+    sspan = np.zeros((Bsw, S), np.int32)
+    for k in range(Bsw):
+        j = k % len(bodies)
+        body = bodies[j]
+        compd[k, : len(body)] = np.frombuffer(body, np.uint8)
+        _bt, llk, dk, hb = SW.parse_block_header(body)
+        ll[k] = llk
+        dd[k] = dk
+        bits, outs = seeds[j]
+        sbit[k] = np.asarray(bits, np.int64) + hb
+        oa = np.asarray(outs, np.int64)
+        sspan[k] = np.diff(np.concatenate([oa, [out_sizes[j]]]))
+    cap = -(-(int(sspan.max()) + 1) // 512) * 512
+    cj = jnp.asarray(compd)
+    llj = jnp.asarray(ll)
+    ddj = jnp.asarray(dd)
+    sbj = jnp.asarray(sbit)
+    ssj = jnp.asarray(sspan)
+
+    def swarm_once():
+        return SW.decode_seeded(cj, llj, ddj, sbj, ssj, cap=cap, max_out=CHUNK)
+
+    with _watchdog(min(300, remaining() - 30), "swarm compile"):
+        jax.block_until_ready(swarm_once())
+    _log("swarm decode compiled")
+    sec, _progs = _device_trace_seconds(
+        swarm_once, 1, "swarm", min(300, remaining() - 30)
+    )
+    if sec:
+        out_bytes = sum(out_sizes) * tile
+        dev["swarm_decode_trace_s"] = round(sec, 3)
+        dev["swarm_decode_trace_gbps"] = round(out_bytes / sec / 1e9, 5)
+        dev["swarm_decode_lanes"] = Bsw
+        _log(f"swarm decode device-trace {dev['swarm_decode_trace_gbps']} GB/s")
+
+
+def _phase_xla_encode(data, flat, dev):
+    """Legacy XLA-matcher encode at the 128 KiB default configuration —
+    wedge-prone compile (the round-2 killer), so it runs LAST with a short
+    leash and only when ample time remains."""
+    import jax
+    import jax.numpy as jnp
+
+    from zlib_rs_tpu.ops import lz77
+    from zlib_rs_tpu.parallel import pipeline as P
+
+    knobs = P._level_knobs(LEVEL)
     arr = np.zeros((BATCH, CHUNK + lz77.PAD), np.uint8)
     for k in range(BATCH):
         seg = flat[k * CHUNK : (k + 1) * CHUNK]
@@ -324,363 +529,175 @@ def bench_device(data: bytes) -> dict:
     def run_once():
         return P._encode_batch(dc, nv, fins, chunk_size=CHUNK, dynamic=True, **knobs)
 
-    # -- encode: compile, enqueue-loop diagnostic, then the device trace ----
-    try:
-        with _watchdog(900, "encode compile"):
-            jax.block_until_ready(run_once())
-            _log("encode compiled")
-    except TimeoutError as e:
-        _log(f"device encode compile wedged ({e}); device section omitted")
-        return dev
-    try:
-        with _watchdog(300, "encode enqueue loop"):
-            times = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                jax.block_until_ready(run_once())
-                times.append(time.perf_counter() - t0)
-        dev["encode_enqueue_gbps"] = round(BATCH * CHUNK / min(times) / 1e9, 4)
-        _log(
-            f"enqueue loop {dev['encode_enqueue_gbps']} GB/s — NOT trusted "
-            "(block_until_ready does not sync on this tunnel)"
-        )
-    except Exception as e:
-        _log(f"enqueue loop skipped: {e}")
-    try:
-        sec, progs = _device_trace_seconds(run_once, 2, "encode", 1200)
-        if sec:
-            dev["encode_trace_s_per_batch"] = round(sec, 3)
-            dev["encode_trace_gbps"] = round(BATCH * CHUNK / sec / 1e9, 5)
-            dev["encode_trace_programs"] = progs
-            _log(f"encode device-trace {dev['encode_trace_gbps']} GB/s ({sec:.2f}s/batch)")
-    except Exception as e:
-        _log(f"encode device trace failed: {e}")
-
-    # -- kernel-scan encode: the SMEM hash-chain matcher
-    # (ops/pallas/deflate_kernel.py) running zlib's exact level-6 search
-    # rules, feeding the same XLA tree/pack stages. 32 KiB chunks with a
-    # ~31 KiB priming dict — the configuration whose exact-engine ratio
-    # measures 0.996x zlib-6 — fit the kernel's packed-u16 position space;
-    # the trace normalizes per byte so the numbers stay comparable.
-    try:
-      with _watchdog(1200, "kernel-scan encode"):
-        KCH = 32 * 1024
-        KB = 32
-        KDICT = 31976
-        karr = np.zeros((KB, KDICT + KCH + lz77.PAD), np.uint8)
-        kvf = np.zeros((KB,), np.int32)
-        for k in range(KB):
-            seg = flat[k * KCH : (k + 1) * KCH]
-            karr[k, KDICT : KDICT + seg.shape[0]] = seg
-            dlen = min(KDICT, k * KCH)
-            if dlen:
-                karr[k, KDICT - dlen : KDICT] = flat[k * KCH - dlen : k * KCH]
-            kvf[k] = KDICT - dlen
-        kdc = jnp.asarray(karr)
-        knv = jnp.full((KB,), KDICT + KCH, jnp.int32)
-        kfins = jnp.zeros((KB,), jnp.int32)
-        kvfj = jnp.asarray(kvf)
-
-        def kernel_once():
-            return P._encode_batch(
-                kdc, knv, kfins, kvfj, chunk_size=KCH, dynamic=True,
-                dict_size=KDICT, kernel_scan=True, **knobs
-            )
-
-        jax.block_until_ready(kernel_once())
-        _log("kernel-scan encode compiled")
-        sec, progs = _device_trace_seconds(kernel_once, 2, "kencode", 1200)
-        if sec:
-            dev["kernel_encode_trace_s_per_batch"] = round(sec, 3)
-            dev["kernel_encode_trace_gbps"] = round(KB * KCH / sec / 1e9, 5)
-            dev["kernel_encode_trace_programs"] = progs
-            _log(
-                f"kernel-scan encode device-trace "
-                f"{dev['kernel_encode_trace_gbps']} GB/s ({sec:.2f}s/batch)"
-            )
-    except Exception as e:
-        _log(f"kernel-scan encode skipped: {e}")
-
-    # -- kernel-path ratio: the full corpus through compress_parallel with
-    # the scan kernel on the real chip (fetches ~half the corpus size of
-    # compressed bytes; watchdogged against tunnel wedges)
-    try:
-      with _watchdog(1500, "kernel ratio"):
-        import zlib as _z
-
-        os.environ["ZRS_TPU_KERNEL"] = "1"
-        try:
-            from zlib_rs_tpu.parallel.pipeline import compress_parallel as _cp
-
-            comp = _cp(bytes(data), level=LEVEL, chunk_size=32 * 1024)
-        finally:
-            os.environ.pop("ZRS_TPU_KERNEL", None)
-        assert _z.decompress(comp) == data
-        zref = len(_z.compress(bytes(data), LEVEL))
-        dev["kernel_ratio_vs_zlib"] = round(len(comp) / zref, 4)
-        _log(f"kernel-path ratio (chip round-trip verified) {dev['kernel_ratio_vs_zlib']}")
-    except Exception as e:
-        _log(f"kernel ratio skipped: {e}")
-
-    # -- swarm decode: seed-parallel exact decode of our own indexed
-    # stream (parallel/swarm_inflate). The seeded stream is built by a
-    # CPU-backend subprocess (bytes are backend-independent and it avoids
-    # a device fetch in this process); the decode itself is profiled here.
-    try:
-      with _watchdog(1500, "swarm decode"):
-        import pickle
-
-        seed_pkl = f"/tmp/zrs_bench_seeded_{os.getpid()}.pkl"
-        proc = subprocess.run(
-            [sys.executable, "-c", SEEDED_CHILD.replace(
-                "{REPO!r}", repr(os.path.dirname(os.path.abspath(__file__)))
-            ).replace("{OUT!r}", repr(seed_pkl))],
-            capture_output=True, text=True, timeout=1400,
-        )
-        blob = pickle.load(open(seed_pkl, "rb"))
-        from zlib_rs_tpu.parallel import swarm_inflate as SW
-
-        seeded = [k for k, s in enumerate(blob["seeds"]) if s is not None]
-        bodies = [
-            blob["comp"][blob["index"][k][0] : blob["index"][k][0] + blob["index"][k][1]]
-            for k in seeded
-        ]
-        out_sizes = [blob["index"][k][2] for k in seeded]
-        seeds = [blob["seeds"][k] for k in seeded]
-        tile = 4  # 64 lanes: enough walkers to amortize per-op overhead
-        Bsw = len(bodies) * tile
-        S = SW.SEEDS_PER_CHUNK
-        Ld = max(len(b) for b in bodies) + 12
-        compd = np.zeros((Bsw, Ld), np.uint8)
-        ll = np.zeros((Bsw, 320), np.int32)
-        dd = np.zeros((Bsw, 320), np.int32)
-        sbit = np.zeros((Bsw, S), np.int32)
-        sspan = np.zeros((Bsw, S), np.int32)
-        for k in range(Bsw):
-            j = k % len(bodies)
-            body = bodies[j]
-            compd[k, : len(body)] = np.frombuffer(body, np.uint8)
-            _bt, llk, dk, hb = SW.parse_block_header(body)
-            ll[k] = llk
-            dd[k] = dk
-            bits, outs = seeds[j]
-            sbit[k] = np.asarray(bits, np.int64) + hb
-            oa = np.asarray(outs, np.int64)
-            sspan[k] = np.diff(np.concatenate([oa, [out_sizes[j]]]))
-        cap = -(-(int(sspan.max()) + 1) // 512) * 512
-        cj = jnp.asarray(compd)
-        llj = jnp.asarray(ll)
-        ddj = jnp.asarray(dd)
-        sbj = jnp.asarray(sbit)
-        ssj = jnp.asarray(sspan)
-
-        def swarm_once():
-            return SW.decode_seeded(
-                cj, llj, ddj, sbj, ssj, cap=cap, max_out=CHUNK
-            )
-
-        jax.block_until_ready(swarm_once())
-        _log("swarm decode compiled")
-        sec, progs = _device_trace_seconds(swarm_once, 1, "swarm", 1200)
-        if sec:
-            out_bytes = sum(out_sizes) * tile
-            dev["swarm_decode_trace_s"] = round(sec, 3)
-            dev["swarm_decode_trace_gbps"] = round(out_bytes / sec / 1e9, 5)
-            dev["swarm_decode_lanes"] = Bsw
-            _log(f"swarm decode device-trace {dev['swarm_decode_trace_gbps']} GB/s")
-    except Exception as e:
-        _log(f"swarm decode bench skipped: {e}")
-
-    # -- Pallas sequential-inflate kernel on the same seeded bodies:
-    # first Mosaic compile is the validation gate (interpret mode is
-    # byte-exact); any failure is logged and skipped.
-    try:
-      with _watchdog(1200, "pallas kernel decode"):
-        from zlib_rs_tpu.parallel import swarm_inflate as SW2
-
-        parts = SW2.decode_chunks_kernel(bodies, out_sizes, interpret=False)
-        joined = b"".join(parts)
-        _log("pallas inflate kernel: chip compile + decode OK")
-
-        from zlib_rs_tpu.ops.pallas.inflate_kernel import (
-            decode_streams_pallas, pack_streams_words,
-        )
-
-        kwords, kbits = pack_streams_words(bodies)
-        Bk = len(bodies)
-        argsk = (
-            jnp.asarray(kwords), jnp.zeros((Bk,), jnp.int32),
-            jnp.asarray(kbits), jnp.asarray(np.asarray(out_sizes, np.int32)),
-        )
-        jax.block_until_ready(
-            decode_streams_pallas(*argsk, max_out=CHUNK, interpret=False)
-        )
-
-        def kernel_once():
-            return decode_streams_pallas(*argsk, max_out=CHUNK, interpret=False)
-
-        sec, _progs = _device_trace_seconds(kernel_once, 1, "pallas_kernel", 1200)
-        if sec:
-            dev["pallas_inflate_kernel_trace_s"] = round(sec, 3)
-            dev["pallas_inflate_kernel_gbps"] = round(
-                sum(out_sizes) / sec / 1e9, 5
-            )
-            _log(
-                f"pallas inflate kernel device-trace "
-                f"{dev['pallas_inflate_kernel_gbps']} GB/s"
-            )
-    except Exception as e:
-        _log(f"pallas kernel decode skipped: {e}")
-
-    # -- turbo decode (positional, indexless foreign streams): kept as a
-    # completeness measurement on a SMALL region batch — the construction
-    # is O(bits x log S) gathers and is not a throughput path.
-    try:
-      with _watchdog(900, "turbo decode"):
-        from zlib_rs_tpu import native as NV
-        from zlib_rs_tpu.parallel import turbo_inflate as TB
-
-        n_chunks_d = 4
-        bodies = []
-        for k in range(n_chunks_d):
-            seg = data[k * CHUNK : (k + 1) * CHUNK]
-            bodies.append(NV.deflate_chunk(seg, level=LEVEL, final=(k == n_chunks_d - 1)))
-        Ld = max(len(b) for b in bodies) + 8
-        compd = np.zeros((n_chunks_d, Ld), np.uint8)
-        for k, b in enumerate(bodies):
-            compd[k, : len(b)] = np.frombuffer(b, np.uint8)
-        cj = jnp.asarray(compd)
-        sbd = jnp.zeros(n_chunks_d, jnp.int32)
-        ebd = jnp.asarray(np.array([len(b) * 8 for b in bodies], np.int32))
-        tgt = jnp.asarray(np.full(n_chunks_d, CHUNK, np.int32))
-
-        def turbo_once():
-            return TB.decode_regions_turbo(
-                cj, sbd, ebd, tgt, max_blocks=16, max_out=CHUNK
-            )
-
-        jax.block_until_ready(turbo_once())
-        _log("turbo decode compiled")
-        sec, progs = _device_trace_seconds(turbo_once, 1, "turbo", 900)
-        if sec:
-            dev["turbo_decode_trace_s"] = round(sec, 3)
-            dev["turbo_decode_trace_gbps"] = round(n_chunks_d * CHUNK / sec / 1e9, 5)
-            _log(f"turbo decode device-trace {dev['turbo_decode_trace_gbps']} GB/s")
-    except Exception as e:
-        _log(f"turbo decode bench skipped: {e}")
-
-    # the pipeline's output bytes are backend-independent: measure the
-    # level-6 ratio in a CPU-pinned subprocess (immune to tunnel wedges)
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", RATIO_CHILD.replace(
-                "{REPO!r}", repr(os.path.dirname(os.path.abspath(__file__)))
-            )],
-            capture_output=True, text=True, timeout=1800,
-        )
-        for line in proc.stdout.splitlines():
-            if line.startswith("RATIO "):
-                dev["ratio_vs_zlib"] = round(json.loads(line[6:])["ratio"], 4)
-                _log(f"device-pipeline ratio (cpu-verified) {dev['ratio_vs_zlib']}")
-        if "ratio_vs_zlib" not in dev:
-            _log(f"ratio subprocess gave no result: {proc.stderr[-300:]}")
-    except Exception as e:
-        _log(f"ratio subprocess failed: {e}")
-
-    # e2e wall-clock through the tunnel, best-effort (fetch-unsafe)
-    child = DEVICE_CHILD.replace(
-        "{REPO!r}", repr(os.path.dirname(os.path.abspath(__file__)))
+    with _watchdog(min(300, remaining() - 120), "xla encode compile"):
+        jax.block_until_ready(run_once())
+    _log("xla encode compiled")
+    sec, progs = _device_trace_seconds(
+        run_once, 1, "encode", min(300, remaining() - 60)
     )
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", child], capture_output=True, text=True, timeout=900
-        )
-        for line in proc.stdout.splitlines():
-            if line.startswith("RESULT "):
-                vals = json.loads(line[7:])
-                dev["e2e_cold_s"] = round(vals["e2e_cold"], 2)
-                dev["e2e_tunnel_gbps"] = round(n / vals["e2e_cold"] / 1e9, 4)
-                dev.setdefault("ratio_vs_zlib", round(vals["ratio"], 4))
-    except subprocess.TimeoutExpired:
-        _log("device fetch-phase timed out (tunnel wedge); fields omitted")
-    except Exception as e:
-        _log(f"device fetch-phase failed: {e}")
+    if sec:
+        dev["encode_trace_s_per_batch"] = round(sec, 3)
+        dev["encode_trace_gbps"] = round(BATCH * CHUNK / sec / 1e9, 5)
+        dev["encode_trace_programs"] = progs
+        _log(f"xla encode device-trace {dev['encode_trace_gbps']} GB/s ({sec:.2f}s/batch)")
+
+
+def bench_device(data: bytes, seed_pkl: str | None) -> dict:
+    """Device phases, most-valuable-first, each gated on remaining() so the
+    bench always finishes inside the global budget (VERDICT r2 item 1)."""
+    flat = np.frombuffer(data, np.uint8)
+    dev = {}
+    _log("device measurement first (no prior fetch)")
+    phases = [
+        ("kernel_encode", 180, lambda: _phase_kernel_encode(data, flat, dev)),
+        ("pallas_inflate", 150, lambda: _phase_pallas_inflate(data, dev)),
+        ("kernel_ratio", 180, lambda: _phase_kernel_ratio(data, dev)),
+        ("swarm", 150, lambda: _phase_swarm(seed_pkl, dev)),
+        ("xla_encode", 500, lambda: _phase_xla_encode(data, flat, dev)),
+    ]
+    for name, need, fn in phases:
+        if name == "swarm" and seed_pkl is None:
+            _log("swarm skipped: no seed pickle")
+            continue
+        if remaining() < need:
+            _log(f"{name} skipped: {remaining():.0f}s left < {need}s needed")
+            continue
+        try:
+            with _phase(f"device:{name}"):
+                fn()
+        except Exception as e:
+            _log(f"{name} phase failed: {type(e).__name__}: {str(e)[:300]}")
     return dev
 
 
 def main():
-    data = load_corpus()
-    n = len(data)
-    _log(f"corpus silesia-proxy tar, {n} bytes")
-
-    cpu, zstreams = bench_cpu(data)
-    _log(f"cpu zlib: {cpu}")
-
-    native = bench_native(data, zstreams)
-    _log(f"native: {native}")
-
-    sweep = bench_decode_sweep(data)
-    _log(f"host streaming decode sweep (MB/s): {sweep}")
-
-    device = {}
-    # the tunnel to the chip wedges transiently (minutes); retry once
-    for attempt in range(2):
-        try:
-            with _watchdog(2700, "device bench attempt"):
-                device = bench_device(data)
-        except Exception as e:
-            _log(f"device bench attempt {attempt} unavailable: {e}")
-        if device:
-            break
-        if attempt == 0:
-            _log("device section empty; retrying in 120s")
-            time.sleep(120)
-
-    base6 = cpu["compress"][str(LEVEL)]["gbps"]
-    # headline: the best trace-measured device encode engine (the SMEM
-    # scan kernel when it compiled, else the XLA matcher path)
-    headline = max(
-        device.get("encode_trace_gbps") or 0.0,
-        device.get("kernel_encode_trace_gbps") or 0.0,
-    )
-    if not device:
-        _log(
-            "DEVICE UNREACHABLE for this entire run (tunnel outage): the "
-            "value field is 0.0, NOT a measurement. Last trace-measured "
-            "numbers and methodology are recorded in STATUS.md."
-        )
     result = {
         "metric": f"parallel_deflate_level{LEVEL}_device_gbps",
-        "value": round(headline, 5),
+        "value": 0.0,
         "unit": "GB/s",
-        "vs_baseline": round(headline / base6, 4) if base6 else None,
-        "ratio_vs_zlib": (
-            device.get("kernel_ratio_vs_zlib")
-            if device.get("kernel_ratio_vs_zlib") is not None
-            and (device.get("kernel_encode_trace_gbps") or 0.0)
-            >= (device.get("encode_trace_gbps") or 0.0)
-            else device.get("ratio_vs_zlib")
-        ),
-        "measurement_note": (
-            "value = level-6 chunk-parallel encode GB/s/chip from the "
-            "jax.profiler DEVICE trace (TPU-lane jit span / dispatches). "
-            "Wall-clock methods (block_until_ready loops, data-chained "
-            "dispatch chains) measured up to ~40x optimistic on this "
-            "tunnel-attached chip and are reported only as "
-            "encode_enqueue_gbps, explicitly untrusted. The native C++ "
-            "engine numbers (native.*) are the CPU production path; "
-            "native one-shot output is byte-identical to zlib."
-        ),
-        "device": device,
-        "device_unreachable": not device,
-        "native": native,
-        "cpu_zlib": cpu,
-        "host_stream_decode_mbps_by_input_chunk": sweep,
-        "corpus": "silesia-proxy tar (reference test-data + system binaries)",
-        "corpus_bytes": n,
+        "vs_baseline": None,
     }
-    print(json.dumps(result))
+    device = {}
+    cpu = native = sweep = None
+    ratio_proc = seed_proc = None
+    seed_pkl = f"/tmp/zrs_bench_seeded_{os.getpid()}.pkl"
+    try:
+        data = load_corpus()
+        n = len(data)
+        result["corpus"] = "silesia-proxy tar (reference test-data + system binaries)"
+        result["corpus_bytes"] = n
+        _log(f"corpus silesia-proxy tar, {n} bytes; budget {BUDGET:.0f}s")
+
+        # CPU-pinned children run CONCURRENTLY with everything below:
+        # the 128 KiB-pipeline ratio check and the swarm seed stream.
+        repo = repr(os.path.dirname(os.path.abspath(__file__)))
+        ratio_proc = subprocess.Popen(
+            [sys.executable, "-c", RATIO_CHILD.replace("{REPO!r}", repo)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        )
+        seed_proc = subprocess.Popen(
+            [sys.executable, "-c", SEEDED_CHILD.replace("{REPO!r}", repo).replace(
+                "{OUT!r}", repr(seed_pkl))],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        )
+
+        with _phase("cpu"):
+            cpu, zstreams = bench_cpu(data)
+        _log(f"cpu zlib: {cpu}")
+        with _phase("native"):
+            native = bench_native(data, zstreams)
+        _log(f"native: {native}")
+        with _phase("decode_sweep"):
+            sweep = bench_decode_sweep(data)
+        _log(f"host streaming decode sweep (MB/s): {sweep}")
+
+        # wait (briefly) for the seed child so the swarm phase has input
+        if seed_proc is not None:
+            try:
+                seed_proc.wait(timeout=max(1, min(300, remaining() - 900)))
+            except subprocess.TimeoutExpired:
+                pass
+        have_seeds = os.path.exists(seed_pkl)
+
+        with _phase("device_total"):
+            try:
+                device = bench_device(data, seed_pkl if have_seeds else None)
+            except Exception as e:
+                _log(f"device section failed outright: {e}")
+        if not have_seeds and seed_proc is not None and os.path.exists(seed_pkl):
+            # seeds arrived late; give swarm one more shot if time remains
+            if remaining() > 200:
+                try:
+                    with _phase("device:swarm"):
+                        _phase_swarm(seed_pkl, device)
+                except Exception as e:
+                    _log(f"late swarm failed: {e}")
+
+        # collect the concurrent CPU ratio child
+        if ratio_proc is not None:
+            try:
+                out_txt, _ = ratio_proc.communicate(timeout=max(1, min(600, remaining())))
+                for line in out_txt.splitlines():
+                    if line.startswith("RATIO "):
+                        device["ratio_vs_zlib"] = round(json.loads(line[6:])["ratio"], 4)
+                        _log(f"device-pipeline ratio (cpu-verified) {device['ratio_vs_zlib']}")
+            except subprocess.TimeoutExpired:
+                ratio_proc.kill()
+                _log("cpu ratio child timed out")
+    except Exception as e:
+        _log(f"bench main failed: {type(e).__name__}: {e}")
+    finally:
+        for p in (ratio_proc, seed_proc):
+            if p is not None and p.poll() is None:
+                p.kill()
+        base6 = None
+        if cpu:
+            base6 = cpu["compress"][str(LEVEL)]["gbps"]
+        # headline: the best trace-measured device encode engine (the SMEM
+        # scan kernel when it compiled, else the XLA matcher path)
+        headline = max(
+            device.get("encode_trace_gbps") or 0.0,
+            device.get("kernel_encode_trace_gbps") or 0.0,
+        )
+        if not device:
+            _log(
+                "DEVICE UNREACHABLE for this entire run (tunnel outage): the "
+                "value field is 0.0, NOT a measurement. Last trace-measured "
+                "numbers and methodology are recorded in STATUS.md."
+            )
+        result.update(
+            {
+                "value": round(headline, 5),
+                "vs_baseline": round(headline / base6, 4) if base6 else None,
+                "ratio_vs_zlib": (
+                    device.get("kernel_ratio_vs_zlib")
+                    if device.get("kernel_ratio_vs_zlib") is not None
+                    and (device.get("kernel_encode_trace_gbps") or 0.0)
+                    >= (device.get("encode_trace_gbps") or 0.0)
+                    else device.get("ratio_vs_zlib")
+                ),
+                "measurement_note": (
+                    "value = level-6 chunk-parallel encode GB/s/chip from the "
+                    "jax.profiler DEVICE trace (TPU-lane jit span / dispatches). "
+                    "Wall-clock methods (block_until_ready loops, data-chained "
+                    "dispatch chains) measured up to ~40x optimistic on this "
+                    "tunnel-attached chip; only trace spans are reported. The "
+                    "native C++ engine numbers (native.*) are the CPU "
+                    "production path; native one-shot output is byte-identical "
+                    "to zlib."
+                ),
+                "device": device,
+                "device_unreachable": not device,
+                "native": native,
+                "cpu_zlib": cpu,
+                "host_stream_decode_mbps_by_input_chunk": sweep,
+                "phase_seconds": PHASE_SECONDS,
+                "budget_s": BUDGET,
+                "elapsed_s": round(time.monotonic() - T0, 1),
+            }
+        )
+        print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()

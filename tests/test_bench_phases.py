@@ -56,7 +56,7 @@ def test_bench_native_phase():
 def test_bench_decode_sweep_phase():
     data = _corpus()
     out = bench.bench_decode_sweep(data)
-    assert set(out) == {"2^14", "2^17", "2^20"}
+    assert set(out) == {f"2^{n}" for n in range(4, 25)}
     assert all(v > 0 for v in out.values())
 
 

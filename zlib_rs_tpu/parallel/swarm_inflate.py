@@ -331,6 +331,28 @@ def decode_chunks_kernel(bodies, out_sizes, *, max_out=None, interpret=None):
     return parts
 
 
+def make_kernel_dispatch(bodies, out_sizes, *, max_out=None):
+    """Build a zero-arg dispatch closure over device-resident inputs for the
+    Pallas inflate kernel — the shape bench.py traces (device arrays staged
+    once; each call re-runs only the kernel program)."""
+    from ..ops.pallas.inflate_kernel import decode_streams_pallas, pack_streams_words
+
+    B = len(bodies)
+    max_out = max_out or max(out_sizes)
+    words, comp_bits = pack_streams_words(bodies)
+    args = (
+        jnp.asarray(words),
+        jnp.zeros((B,), jnp.int32),
+        jnp.asarray(comp_bits),
+        jnp.asarray(np.asarray(out_sizes, np.int32)),
+    )
+
+    def dispatch():
+        return decode_streams_pallas(*args, max_out=max_out, interpret=False)
+
+    return dispatch
+
+
 def make_sharded_decode_step(mesh, *, cap: int, max_out: int):
     """The multi-chip decode step as an explicit shard_map program: each
     device decodes its shard of the chunk batch with the seed-parallel
