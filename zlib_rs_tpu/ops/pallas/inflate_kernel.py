@@ -103,14 +103,35 @@ def _dist_entry_fields(sym):
     return kind, e, jnp.where(sym < 30, base, 0)
 
 
-def _kernel(
+def _make_kernel(one_level: bool):
+    """Kernel factory. one_level=True builds FLAT decode tables (root = max
+    code length, <= 15): the hot loop does ONE table load per code instead
+    of the root->sub dependent pair — the per-literal critical path is the
+    chip-measured ~64ns -> ~40ns lever (experiments/bench_ilk.py) — at the
+    price of up to 2^15-entry tables (adaptive: init/fill cost is
+    2^maxlen, so typical level-6 trees pay 2^12..2^14). one_level=False is
+    the classic two-level inftrees layout for large-max_out callers where
+    SMEM can't hold 2x128 KiB tables."""
+
+    def kernel(meta_ref, clord_ref, words_ref, out_ref, st_ref,
+               lltab, dtab, cltab, lens, work, cnt, offs):
+        return _kernel_body(
+            one_level, meta_ref, clord_ref, words_ref, out_ref, st_ref,
+            lltab, dtab, cltab, lens, work, cnt, offs,
+        )
+
+    return kernel
+
+
+def _kernel_body(
+    one_level,
     meta_ref,  # SMEM i32 (1,1,8): start_bit, comp_bits, out_len, max_out_b
     clord_ref,  # SMEM i32 (1,1,32): code-length code order (RFC 1951)
     words_ref,  # SMEM u32 (1,1,W): LE32-packed compressed bytes
     out_ref,  # SMEM u32 (1,1,OW): LE32-packed output bytes
     st_ref,  # SMEM i32 (1,1,8): produced, bad, end_bitpos
-    lltab,  # SMEM u32 scratch (1, LL_CAP)
-    dtab,  # SMEM u32 scratch (1, D_CAP)
+    lltab,  # SMEM u32 scratch (1, LL_CAP or 2^15)
+    dtab,  # SMEM u32 scratch (1, D_CAP or 2^15)
     cltab,  # SMEM u32 scratch (1, CL_CAP)
     lens,  # SMEM i32 scratch (1, 320): ll lens | dist lens
     work,  # SMEM i32 scratch (1, 320): symbols sorted by (len, sym)
@@ -143,6 +164,66 @@ def _kernel(
         out_ref[0, 0, wi] = (w & ~(jnp.uint32(0xFF) << sh)) | (
             b.astype(jnp.uint32) << sh
         )
+
+    _OW = out_ref.shape[2]
+    _DEAD = _OW - 1
+
+    # ---- deferred LZ copy execution -------------------------------------
+    # UNIVERSAL copy — one code path for every distance (the round-2
+    # three-way cond tree cost ~10ns per cond, probe_loopcost). A 4-byte
+    # source window at p-dist is made periodic for dist < 4
+    # (d[j] = d[j - dist] within the same word), so the word loop is valid
+    # for all distances.
+    def _src4(p, dist):
+        # 4 source bytes for destination position p
+        s0 = p - dist
+        swi = jnp.clip(s0 >> 2, 0, _DEAD - 1)
+        ssh = ((s0 & 3) << 3).astype(jnp.uint32)
+        w0 = out_ref[0, 0, swi]
+        w1 = out_ref[0, 0, swi + 1]
+        v = jnp.where(ssh > 0, (w0 >> ssh) | (w1 << (jnp.uint32(32) - ssh)), w0)
+        v = jnp.where(
+            dist == 1,
+            (v & jnp.uint32(0xFF)) * jnp.uint32(0x01010101),
+            jnp.where(
+                dist == 2,
+                (v & jnp.uint32(0xFFFF)) * jnp.uint32(0x00010001),
+                jnp.where(
+                    dist == 3,
+                    (v & jnp.uint32(0xFFFFFF))
+                    | ((v & jnp.uint32(0xFF)) << jnp.uint32(24)),
+                    v,
+                ),
+            ),
+        )
+        return v
+
+    def _masked_store(p, nby, v):
+        # store nby source bytes (0..4) at p, all in one word
+        sh = ((p & 3) << 3).astype(jnp.uint32)
+        m = jnp.where(
+            nby == 0,
+            _U0,
+            jnp.uint32(0xFFFFFFFF) >> ((4 - nby) << 3).astype(jnp.uint32),
+        ) << sh
+        wi = jnp.where(nby > 0, jnp.minimum(p >> 2, _DEAD), _DEAD)
+        old = out_ref[0, 0, wi]
+        out_ref[0, 0, wi] = (old & ~m) | ((v << sh) & m)
+
+    def _copy_match(p, length, dist):
+        head = jnp.minimum((4 - (p & 3)) & 3, length)
+        _masked_store(p, head, _src4(p, dist))
+        nwords = (length - head) >> 2
+        wbase = (p + head) >> 2
+
+        def wf(k, _):
+            out_ref[0, 0, wbase + k] = _src4((wbase + k) << 2, dist)
+            return 0
+
+        lax.fori_loop(0, nwords, wf, 0)
+        tail0 = p + head + (nwords << 2)
+        _masked_store(tail0, p + length - tail0, _src4(tail0, dist))
+
 
     # ---- two-level canonical table build (inftrees.rs:42-339 semantics) --
     def build_table(tab_ref, cap, nsyms, lens_base, root_in, kind_of):
@@ -217,14 +298,16 @@ def _kernel(
 
         lax.fori_loop(0, nsyms, place, 0)
 
-        # all-invalid init (covers unreferenced slots + incomplete codes)
+        # all-invalid init (covers unreferenced slots + incomplete codes).
+        # One-level mode only ever indexes 1 << root slots (root == maxlen),
+        # so init adapts to the actual tree instead of paying cap.
         inv = _entry(jnp.int32(KIND_INVALID), jnp.int32(0), root, jnp.int32(0))
 
         def zinit(i, _):
             tab_ref[0, i] = inv
             return 0
 
-        lax.fori_loop(0, cap, zinit, 0)
+        lax.fori_loop(0, (jnp.int32(1) << root) if one_level else cap, zinit, 0)
 
         # ordered walk: huff = LSB-first code, incremented in reversed
         # space; subtables opened when a code exceeds root bits
@@ -522,74 +605,106 @@ def _kernel(
 
     def coded_block(bitpos, outpos, bad, nlen, ndist):
         """Decode symbols until EOB using lltab/dtab built from lens[]."""
+        ll_root_in = 15 if one_level else LL_ROOT
+        d_root_in = 15 if one_level else D_ROOT
+        ll_cap = lltab.shape[1]
+        d_cap = dtab.shape[1]
         ll_root, b1 = build_table(
-            lltab, LL_CAP, nlen, jnp.int32(0), jnp.int32(LL_ROOT), 1
+            lltab, ll_cap, nlen, jnp.int32(0), jnp.int32(ll_root_in), 1
         )
         d_root, b2 = build_table(
-            dtab, D_CAP, ndist, jnp.int32(288), jnp.int32(D_ROOT), 2
+            dtab, d_cap, ndist, jnp.int32(288), jnp.int32(d_root_in), 2
         )
         bad = bad | b1 | b2
         ll_mask = (_U1 << ll_root.astype(jnp.uint32)) - _U1
         d_mask = (_U1 << d_root.astype(jnp.uint32)) - _U1
+        DEAD = _DEAD  # slack word for clamped literal stores
 
-        # the bit window lives in REGISTERS (w0 = current word, w1 = next):
-        # peeks are pure ALU and at most one word reload happens per
-        # consumption step, cutting the per-symbol dependent-SMEM-load
-        # chain (chip-measured ~8ns per dependent load) roughly in half
-        # vs re-loading two words per peek.
-        def win32(bp, w0, w1):
-            sh = (bp & 31).astype(jnp.uint32)
-            return jnp.where(
-                sh > 0, (w0 >> sh) | (w1 << (jnp.uint32(32) - sh)), w0
-            )
+        # The decode loop is ALU-ISSUE-bound: the scalar unit issues ~1
+        # op/ns and overlaps independent loads (experiments/probe_ilp.py),
+        # so throughput == ops per symbol. Chip-ablated structure
+        # (experiments/bench_ilk.py):
+        #   * literals — the common symbol — run in a dedicated SPRINT
+        #     loop whose condition is "the next code is a literal": the
+        #     sprint body carries ZERO match machinery (a match lax.cond
+        #     costs ~14ns per symbol even when never taken), and
+        #     non-literal codes are handled once per occurrence outside;
+        #   * literals accumulate in an output-word REGISTER (oword),
+        #     flushed with a plain store — no per-literal RMW load chain;
+        #   * matches copy word-at-a-time through ONE universal path (a
+        #     periodic 4-byte source window handles dist < 4).
 
-        def advance(bp, w0, w1, n):
-            nbp = bp + n
-            moved = (nbp >> 5) != (bp >> 5)  # n <= 28, so at most one word
-            w0n = jnp.where(moved, w1, w0)
-            w1n = jnp.where(moved, words_ref[0, 0, (nbp >> 5) + 1], w1)
-            return nbp, w0n, w1n
+        def peek_sym(bp):
+            w = peek32(bp)
+            i0 = (w & ll_mask).astype(jnp.int32)
+            if one_level:
+                # flat table: ONE load resolves the code
+                e = lltab[0, i0]
+            else:
+                # branchless two-level lookup: always two loads (the second
+                # re-reads the root slot for short codes) — a taken
+                # lax.cond costs far more than the extra SMEM load
+                e0 = lltab[0, i0]
+                is_sub = _e_kind(e0) == KIND_SUB
+                sub_idx = _e_val(e0) + (
+                    (w >> ll_root.astype(jnp.uint32))
+                    & ((_U1 << _e_extra(e0).astype(jnp.uint32)) - _U1)
+                ).astype(jnp.int32)
+                e = lltab[0, jnp.where(is_sub, sub_idx, i0)]
+            return w, e
+
+        def sprint_cond(st):
+            bp, op, oword, w, e = st
+            return (_e_kind(e) == KIND_LIT) & (bp <= comp_bits)
+
+        def sprint_body(st):
+            # consumes ONE guaranteed literal, then opportunistically a
+            # SECOND one (pairs amortize the fixed per-iteration costs:
+            # ~55% of text literals are followed by another literal)
+            bp, op, oword, w, e = st
+            osh = ((op & 3) << 3).astype(jnp.uint32)
+            ow2 = oword | ((e & jnp.uint32(0xFF)) << osh)
+            out_ref[0, 0, jnp.minimum(op >> 2, DEAD)] = ow2
+            oword = jnp.where((op & 3) == 3, _U0, ow2)
+            bp = bp + _e_nbits(e)
+            op = op + 1
+            w, e = peek_sym(bp)
+            lit2 = (_e_kind(e) == KIND_LIT) & (bp <= comp_bits)
+            osh2 = ((op & 3) << 3).astype(jnp.uint32)
+            ow3 = jnp.where(lit2, oword | ((e & jnp.uint32(0xFF)) << osh2), oword)
+            out_ref[0, 0, jnp.where(lit2, jnp.minimum(op >> 2, DEAD), DEAD)] = ow3
+            oword = jnp.where(lit2 & ((op & 3) == 3), _U0, ow3)
+            bp = bp + jnp.where(lit2, _e_nbits(e), 0)
+            op = op + lit2.astype(jnp.int32)
+            # idempotent when the second literal didn't fire (same bp)
+            w, e = peek_sym(bp)
+            return bp, op, oword, w, e
 
         def s_cond(st):
-            bp, w0, w1, op, b, eob = st
+            bp, op, oword, b, eob = st
             return ~(b | eob) & (bp <= comp_bits)
 
         def s_body(st):
-            bp, w0, w1, op, b, eob = st
-            # branchless two-level lookup: always two loads (the second
-            # re-reads the root slot for short codes) — a taken lax.cond
-            # costs far more than the extra SMEM load
-            w = win32(bp, w0, w1)
-            i0 = (w & ll_mask).astype(jnp.int32)
-            e0 = lltab[0, i0]
-            is_sub = _e_kind(e0) == KIND_SUB
-            sub_idx = _e_val(e0) + (
-                (w >> ll_root.astype(jnp.uint32))
-                & ((_U1 << _e_extra(e0).astype(jnp.uint32)) - _U1)
-            ).astype(jnp.int32)
-            e = lltab[0, jnp.where(is_sub, sub_idx, i0)]
+            bp, op, oword, b, eob = st
+            w, e = peek_sym(bp)
+            bp, op, oword, w, e = lax.while_loop(
+                sprint_cond, sprint_body, (bp, op, oword, w, e)
+            )
+            # sprint exits on a non-literal code or bit exhaustion; output
+            # bounds are settled here, amortized over the whole run (the
+            # sprint's stores clamp to the slack word, so an overrun is
+            # safe and flagged once)
+            b = b | (op > max_out)
+            exhausted = bp > comp_bits
             kind = _e_kind(e)
             nb = _e_nbits(e)
-
-            is_lit = kind == KIND_LIT
-            is_eob = kind == KIND_EOB
-            is_match = kind == KIND_MATCH
-            b = b | (~(is_lit | is_eob | is_match))
-
-            # unconditional byte write (a not-taken cond costs ~10ns, the
-            # RMW ~1.3ns): non-literal symbols scribble one byte at a
-            # clamped address that a later copy or slice overwrites/drops,
-            # and `op` only advances for real literals
-            # (the output buffer carries one slack word at index max_out
-            # for exactly these dead writes)
-            wpos = jnp.where(is_lit & (op < max_out), op, max_out)
-            out_byte_write(wpos, jnp.uint32(_e_val(e) & 0xFF))
-
-            b = b | (is_lit & (op >= max_out))
-            bp, w0, w1 = advance(bp, w0, w1, nb)
+            is_eob = (kind == KIND_EOB) & ~exhausted
+            is_match = (kind == KIND_MATCH) & ~exhausted
+            b = b | (~exhausted & ~(is_eob | is_match))
+            bp = bp + jnp.where(is_eob, nb, 0)
 
             def do_match(args):
-                bp, w0, w1, op, b = args
+                bp, op, oword, b = args
                 # length extra rides the same 32-bit window (code <= 15
                 # bits + extra <= 5 bits)
                 lext = _e_extra(e)
@@ -597,17 +712,20 @@ def _kernel(
                     (w >> nb.astype(jnp.uint32))
                     & ((_U1 << lext.astype(jnp.uint32)) - _U1)
                 ).astype(jnp.int32)
-                bp, w0, w1 = advance(bp, w0, w1, lext)
-                # one window for dist code + dist extra (<= 28 bits)
-                w2 = win32(bp, w0, w1)
+                bp = bp + nb + lext
+                # one fresh window for dist code + dist extra (<= 28 bits)
+                w2 = peek32(bp)
                 j0 = (w2 & d_mask).astype(jnp.int32)
-                de0 = dtab[0, j0]
-                d_is_sub = _e_kind(de0) == KIND_SUB
-                d_sub_idx = _e_val(de0) + (
-                    (w2 >> d_root.astype(jnp.uint32))
-                    & ((_U1 << _e_extra(de0).astype(jnp.uint32)) - _U1)
-                ).astype(jnp.int32)
-                de = dtab[0, jnp.where(d_is_sub, d_sub_idx, j0)]
+                if one_level:
+                    de = dtab[0, j0]
+                else:
+                    de0 = dtab[0, j0]
+                    d_is_sub = _e_kind(de0) == KIND_SUB
+                    d_sub_idx = _e_val(de0) + (
+                        (w2 >> d_root.astype(jnp.uint32))
+                        & ((_U1 << _e_extra(de0).astype(jnp.uint32)) - _U1)
+                    ).astype(jnp.int32)
+                    de = dtab[0, jnp.where(d_is_sub, d_sub_idx, j0)]
                 b = b | (_e_kind(de) != KIND_MATCH)
                 dnb = _e_nbits(de)
                 dext = _e_extra(de)
@@ -615,108 +733,32 @@ def _kernel(
                     (w2 >> dnb.astype(jnp.uint32))
                     & ((_U1 << dext.astype(jnp.uint32)) - _U1)
                 ).astype(jnp.int32)
-                bp, w0, w1 = advance(bp, w0, w1, dnb + dext)
+                bp = bp + dnb + dext
                 b = b | (dist > op) | (op + length > max_out) | (dist < 1)
-
-                # the copy: word-at-a-time for the common cases. At the
-                # chip-measured ~8ns/loop-iteration, the byte loop costs
-                # ~10ns/byte; dist>=4 word copies and dist==1 run fills
-                # cut that ~4x on match-heavy data.
-                def head_tail_byte(j, _):
-                    out_byte_write(op + j, out_byte_read(op + j - dist))
-                    return 0
-
-                def run_fill(_):
-                    # dist == 1: replicate the previous byte
-                    byte = out_byte_read(op - 1)
-                    wordv = byte * jnp.uint32(0x01010101)
-                    head = jnp.minimum((4 - (op & 3)) & 3, length)
-                    lax.fori_loop(0, head, head_tail_byte, 0)
-                    nwords = (length - head) >> 2
-                    wbase = (op + head) >> 2
-
-                    def wf(k, _):
-                        out_ref[0, 0, wbase + k] = wordv
-                        return 0
-
-                    lax.fori_loop(0, nwords, wf, 0)
-                    tail0 = head + (nwords << 2)
-
-                    def tb(j, _):
-                        return head_tail_byte(tail0 + j, _)
-
-                    lax.fori_loop(0, length - tail0, tb, 0)
-                    return 0
-
-                def word_copy(_):
-                    # dist >= 4: each dst word's source bytes precede it
-                    head = jnp.minimum((4 - (op & 3)) & 3, length)
-                    lax.fori_loop(0, head, head_tail_byte, 0)
-                    nwords = (length - head) >> 2
-                    wbase = (op + head) >> 2
-                    s0 = op + head - dist
-                    swi = s0 >> 2
-                    ssh = ((s0 & 3) << 3).astype(jnp.uint32)
-
-                    def wf(k, _):
-                        w0 = out_ref[0, 0, swi + k]
-                        w1 = out_ref[0, 0, swi + k + 1]
-                        v = jnp.where(
-                            ssh > 0,
-                            (w0 >> ssh) | (w1 << (jnp.uint32(32) - ssh)),
-                            w0,
-                        )
-                        out_ref[0, 0, wbase + k] = v
-                        return 0
-
-                    lax.fori_loop(0, nwords, wf, 0)
-                    tail0 = head + (nwords << 2)
-
-                    def tb(j, _):
-                        return head_tail_byte(tail0 + j, _)
-
-                    lax.fori_loop(0, length - tail0, tb, 0)
-                    return 0
-
-                def byte_copy(_):
-                    lax.fori_loop(0, length, head_tail_byte, 0, unroll=False)
-                    return 0
-
-                # short matches (the common case on binary data) take the
-                # single byte loop: the aligned word paths cost ~3 loop
-                # setups, which only pay off past ~8 bytes
-                use_run = (dist == 1) & (length >= 8)
-                use_word = (dist >= 4) & (length >= 8)
 
                 @pl.when(~b)
                 def _():
-                    lax.cond(
-                        use_run,
-                        run_fill,
-                        lambda a: lax.cond(use_word, word_copy, byte_copy, a),
-                        0,
-                    )
+                    _copy_match(op, length, dist)
 
-                return bp, w0, w1, jnp.where(b, op, op + length), b
+                op2 = jnp.where(b, op, op + length)
+                # resync the literal register with what the copy produced
+                oword = out_ref[0, 0, jnp.minimum(op2 >> 2, DEAD)] & (
+                    (_U1 << ((op2 & 3) << 3).astype(jnp.uint32)) - _U1
+                )
+                return bp, op2, oword, b
 
-            bp, w0, w1, op, b = lax.cond(
-                is_match, do_match, lambda a: a, (bp, w0, w1, op, b)
+            bp, op, oword, b = lax.cond(
+                is_match, do_match, lambda a: a, (bp, op, oword, b)
             )
-            op = jnp.where(is_lit & ~b, op + 1, op)
-            return bp, w0, w1, op, b, eob | is_eob
+            return bp, op, oword, b, eob | is_eob
 
-        wi0 = bitpos >> 5
-        bitpos, _w0, _w1, outpos, bad, _eob = lax.while_loop(
+        oword0 = out_ref[0, 0, jnp.minimum(outpos >> 2, DEAD)] & (
+            (_U1 << ((outpos & 3) << 3).astype(jnp.uint32)) - _U1
+        )
+        bitpos, outpos, _ow, bad, _eob = lax.while_loop(
             s_cond,
             s_body,
-            (
-                bitpos,
-                words_ref[0, 0, wi0],
-                words_ref[0, 0, wi0 + 1],
-                outpos,
-                bad,
-                jnp.bool_(False),
-            ),
+            (bitpos, outpos, oword0, bad, jnp.bool_(False)),
         )
         return bitpos, outpos, bad
 
@@ -770,9 +812,12 @@ def _kernel(
     st_ref[0, 0, 3] = 0
 
 
-@functools.partial(jax.jit, static_argnames=("max_out", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("max_out", "interpret", "one_level")
+)
 def decode_streams_pallas(
-    words, start_bits, comp_bits, out_lens, *, max_out: int, interpret: bool = False
+    words, start_bits, comp_bits, out_lens, *,
+    max_out: int, interpret: bool = False, one_level: bool | None = None,
 ):
     """Decode B raw-deflate streams, each fully in-SMEM on its grid step.
 
@@ -781,8 +826,16 @@ def decode_streams_pallas(
     bits per stream; out_lens: expected output size (or -1 to decode to
     BFINAL). Returns (out u8[B, max_out], produced i32[B], bad bool[B],
     end_bit i32[B]).
+
+    one_level selects flat (single-load) decode tables — faster, but their
+    2x2^15-entry SMEM scratch only fits alongside buffers for max_out up to
+    ~48 KiB; default picks automatically.
     """
     B, W = words.shape
+    if one_level is None:
+        one_level = max_out + (W * 4) <= 96 * 1024
+    ll_cap = 1 << 15 if one_level else LL_CAP
+    d_cap = 1 << 15 if one_level else D_CAP
     ow = (max_out + 3) // 4 + 1  # +1 slack word absorbing dead writes
     meta = jnp.stack(
         [
@@ -801,7 +854,7 @@ def decode_streams_pallas(
         jnp.int32,
     ).reshape(1, 1, 32)
     out_w, st = pl.pallas_call(
-        _kernel,
+        _make_kernel(one_level),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
@@ -817,8 +870,8 @@ def decode_streams_pallas(
             jax.ShapeDtypeStruct((B, 1, 8), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.SMEM((1, LL_CAP), jnp.uint32),
-            pltpu.SMEM((1, D_CAP), jnp.uint32),
+            pltpu.SMEM((1, ll_cap), jnp.uint32),
+            pltpu.SMEM((1, d_cap), jnp.uint32),
             pltpu.SMEM((1, CL_CAP), jnp.uint32),
             pltpu.SMEM((1, 320), jnp.int32),
             pltpu.SMEM((1, 320), jnp.int32),
