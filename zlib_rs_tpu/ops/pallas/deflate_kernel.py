@@ -149,36 +149,63 @@ def _kernel(meta_ref, words_ref, mpos_ref, mld_ref, st_ref, head, prev):
         every visited candidate costs one budget unit, and the walk stops
         at nice_match. Returns (len, dist) only when strictly better than
         the pending match, else (0, 0); the TOO_FAR demotion (a len-3
-        match further than 4096 back) also returns (0, 0)."""
+        match further than 4096 back) also returns (0, 0).
+
+        Structure: most candidates die on the anchored-byte reject
+        (longest_match.rs:38-51), so they burn through a SKIP-SPRINT
+        whose whole cost is the anchor load in the loop condition plus a
+        prev-chain step (~4 ops) — the full extension (match_len + best
+        update) runs once per anchor-passing candidate in the outer body.
+        Same candidates visited, same budget accounting, same results as
+        the flat walk; only the per-rejected-candidate op count changes
+        (the decode kernel's sprint lesson: the scalar unit is
+        issue-bound, experiments/bench_ilk.py)."""
         cap = jnp.minimum(n_valid - i, MAX_MATCH)
         nice_eff = jnp.minimum(nice, cap)
         budget = jnp.where(plen_in >= good, depth >> 2, depth)
         bl0 = plen_in
 
-        def wcond(st):
-            cand, d, bl, _bd, _eb = st
-            return (cand >= 0) & (i - cand <= MAX_DIST) & (d < budget) & (bl < nice_eff)
-
-        def wbody(st):
-            cand, d, bl, bd, endb = st
-            # anchored reject (longest_match.rs:38-51): the byte at
-            # cand+bl must match i+bl (cached in endb) for this candidate
-            # to beat bl
-            anchor_ok = byte_at(cand + bl) == endb
-            ml = jnp.where(anchor_ok, match_len(i, cand, cap), 0)
-            better = ml > bl
-            nbl = jnp.where(better, ml, bl)
-            return (
-                prev_get(cand),
-                d + 1,
-                nbl,
-                jnp.where(better, i - cand, bd),
-                jnp.where(better, byte_at(i + jnp.minimum(ml, cap - 1)), endb),
+        def alive(cand, d, bl):
+            return (cand >= 0) & (i - cand <= MAX_DIST) & (d < budget) & (
+                bl < nice_eff
             )
 
+        def sk_cond(st):
+            cand, d, bl, _bd, endb = st
+            return alive(cand, d, bl) & (byte_at(cand + bl) != endb)
+
+        def sk_body(st):
+            cand, d, bl, bd, endb = st
+            return prev_get(cand), d + 1, bl, bd, endb
+
+        def w_cond(st):
+            cand, d, bl, _bd, _eb = st
+            return alive(cand, d, bl)
+
+        def w_body(st):
+            st = lax.while_loop(sk_cond, sk_body, st)
+            cand, d, bl, bd, endb = st
+
+            def extend(st2):
+                cand, d, bl, bd, endb = st2
+                ml = match_len(i, cand, cap)
+                better = ml > bl
+                nbl = jnp.where(better, ml, bl)
+                return (
+                    prev_get(cand),
+                    d + 1,
+                    nbl,
+                    jnp.where(better, i - cand, bd),
+                    jnp.where(
+                        better, byte_at(i + jnp.minimum(ml, cap - 1)), endb
+                    ),
+                )
+
+            return lax.cond(alive(cand, d, bl), extend, lambda s: s, st)
+
         _c, _d, bl, bd, _eb = lax.while_loop(
-            wcond,
-            wbody,
+            w_cond,
+            w_body,
             (cand0, jnp.int32(0), bl0, jnp.int32(0), byte_at(i + bl0)),
         )
         found = bl > bl0

@@ -250,7 +250,8 @@ def _crc_batch_best(full: np.ndarray):
 
 
 def make_sharded_encode_step(
-    mesh: Mesh, *, chunk_size: int, dict_size: int = 0, dynamic: bool = True, **knobs
+    mesh: Mesh, *, chunk_size: int, dict_size: int = 0, dynamic: bool = True,
+    gather: bool = True, **knobs
 ):
     """The multi-host encode step as an explicit shard_map program.
 
@@ -268,8 +269,11 @@ def make_sharded_encode_step(
     Returns a jitted fn(chunks, n_valid, finals, valid_from) ->
     (words[B,W], bits[B], offsets[B], ll_lens, d_lens) with the first three
     fully replicated.
+
+    gather=False builds the collective-free variant (outputs stay sharded,
+    no size exchange): the weak-scaling harness diffs it against the full
+    step to attribute communication cost.
     """
-    from jax.experimental.shard_map import shard_map
 
     def local(chunks, n_valid, finals, valid_from):
         if dynamic:
@@ -287,6 +291,9 @@ def make_sharded_encode_step(
 
             words, bits = jax.vmap(one_s)(chunks, n_valid, finals, valid_from)
             ll = dl = jnp.zeros((chunks.shape[0], 1), jnp.int32)
+        if not gather:
+            offsets = jnp.zeros_like(bits)
+            return words, bits, offsets, ll, dl
         # ICI: sizes first (tiny), then the payload gather
         all_bits = jax.lax.all_gather(bits, "chunks", tiled=True)
         nbytes = (all_bits + 7) // 8
@@ -294,12 +301,17 @@ def make_sharded_encode_step(
         all_words = jax.lax.all_gather(words, "chunks", tiled=True)
         return all_words, all_bits, offsets, ll, dl
 
-    mapped = shard_map(
+    out_rep = (
+        (P("chunks", None), P("chunks"), P("chunks"))
+        if not gather
+        else (P(None, None), P(None), P(None))
+    )
+    mapped = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P("chunks", None), P("chunks"), P("chunks"), P("chunks")),
-        out_specs=(P(None, None), P(None), P(None), P("chunks", None), P("chunks", None)),
-        check_rep=False,
+        out_specs=out_rep + (P("chunks", None), P("chunks", None)),
+        check_vma=False,
     )
     return jax.jit(mapped)
 

@@ -360,8 +360,9 @@ def make_sharded_decode_step(mesh, *, cap: int, max_out: int):
     on every device (one host fetch from one device, mirroring
     make_sharded_encode_step). The chunk batch must divide by the mesh
     size."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
 
     def local(comp, ll_lens, d_lens, seeds_bit, seeds_span):
         out, produced, bad = decode_seeded(
@@ -380,7 +381,7 @@ def make_sharded_decode_step(mesh, *, cap: int, max_out: int):
             P("chunks", None), P("chunks", None),
         ),
         out_specs=(P(None, None), P(None), P(None)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped)
 
