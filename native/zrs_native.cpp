@@ -463,6 +463,26 @@ void send_tree_n(BitWriter& bw, const uint8_t* lens, int max_code,
 
 struct Sym { uint16_t dist; uint16_t lenlit; };  // dist==0 -> literal
 
+// Fused static-tree length emission table for the QUICK path: one put64
+// per length value (code + extra bits pre-combined). Computed once.
+struct QuickTab {
+  uint32_t ltab[256];
+  uint8_t ltn[256];
+  QuickTab() {
+    for (int v = 0; v < 256; v++) {
+      int lc = RFC.len_code[v];
+      int sym = 257 + lc;
+      ltab[v] = (uint32_t)STATIC_TREES.llc[sym] |
+                ((uint32_t)(v + 3 - RFC.len_base[lc]) << STATIC_TREES.lll[sym]);
+      ltn[v] = (uint8_t)(STATIC_TREES.lll[sym] + RFC.len_extra[lc]);
+    }
+  }
+};
+const QuickTab QUICK_TAB;
+
+// level 10 selects the QUICK fast mode (not a zlib level)
+constexpr int QUICK_LEVEL = 10;
+
 struct ChunkDeflater {
   const uint8_t* base;   // window position 0 (dict start when priming)
   size_t dict_len, n;    // input is base[dict_len .. dict_len+n)
@@ -501,11 +521,32 @@ struct ChunkDeflater {
 
   // NIL == position 0: base[0] plays zlib's window offset 0 and is never a
   // match candidate (head value 0 / delta to 0 means "empty chain")
-  inline void insert(size_t pos) {
-    uint32_t h = hash3(base + pos);
+  inline void insert_h(size_t pos, uint32_t h) {
     long d = (long)pos - head[h];  // head[h]==0 -> delta==pos -> walks to NIL
     prevd[pos & (WSIZE - 1)] = (uint16_t)std::min<long>(d, 0xffff);
     head[h] = (int32_t)pos;
+  }
+
+  inline void insert(size_t pos) { insert_h(pos, hash3(base + pos)); }
+
+  // zlib's UPDATE_HASH: with HASH_SHIFT*MIN_MATCH == HASH_BITS the rolled
+  // value equals hash3(base+pos) exactly (the old top byte shifts out of
+  // the mask), so sequential scans pay one byte load instead of three
+  inline uint32_t roll_h(uint32_t h, size_t pos) const {
+    return ((h << HASH_SHIFT_N) ^ (uint32_t)base[pos + 2]) &
+           (uint32_t)(HASH_SIZE_N - 1);
+  }
+
+  // rolling-hash dictionary pre-insertion shared by every mode
+  inline void insert_dict() {
+    if (dict_len < MIN_MATCH) return;
+    uint32_t h = hash3(base);
+    size_t last = dict_len - MIN_MATCH;  // inclusive
+    for (size_t i = 0;; i++) {
+      insert_h(i, h);
+      if (i == last) break;
+      h = roll_h(h, i + 1);
+    }
   }
 
   // absolute previous-occurrence position for `pos` (0 when none/too far)
@@ -717,11 +758,14 @@ struct ChunkDeflater {
     size_t pos = dict_len > 0 ? dict_len : 0;
     // dictionary pre-insertion (positions 0..dict_len-3; position 0 stays
     // NIL-invisible because head/prev value 0 reads as empty)
-    for (size_t i = 0; i + MIN_MATCH <= dict_len; i++) insert(i);
+    insert_dict();
+    uint32_t h = 0;
+    bool hv = false;
     while (pos < total) {
       int hash_head = 0;
       if (pos + MIN_MATCH <= total) {
-        insert(pos);
+        if (!hv) { h = hash3(base + pos); hv = true; }
+        insert_h(pos, h);
         hash_head = (int)chain_prev(pos);
       }
       int ml = 0, mdist = 0;
@@ -731,13 +775,22 @@ struct ChunkDeflater {
         syms[ns++] = {(uint16_t)mdist, (uint16_t)ml};
         size_t end = pos + (size_t)ml;
         if ((size_t)ml <= (size_t)cfg.lazy && total - end >= MIN_MATCH) {
-          for (size_t p2 = pos + 1; p2 < end; p2++) insert(p2);
+          uint32_t h2 = h;  // hash at pos; interiors roll from it
+          for (size_t p2 = pos + 1; p2 < end; p2++) {
+            h2 = roll_h(h2, p2);
+            insert_h(p2, h2);
+          }
         }
         // a match longer than max_insert_length skips insertion entirely
         pos = end;
+        hv = false;
       } else {
         syms[ns++] = {0, base[pos]};
         pos++;
+        if (hv) {
+          if (pos + MIN_MATCH <= total) h = roll_h(h, pos);
+          else hv = false;
+        }
       }
       if (ns >= SYM_END_N) flush_block(false, pos);
     }
@@ -747,11 +800,14 @@ struct ChunkDeflater {
   void run_slow(size_t total) {
     const LevelCfg& cfg = LEVELS[level];
     size_t pos = dict_len > 0 ? dict_len : 0;
-    for (size_t i = 0; i + MIN_MATCH <= dict_len; i++) insert(i);
+    insert_dict();
+    uint32_t h = 0;
+    bool hv = false;
     while (pos < total) {
       int hash_head = 0;
       if (pos + MIN_MATCH <= total) {
-        insert(pos);
+        if (!hv) { h = hash3(base + pos); hv = true; }
+        insert_h(pos, h);
         hash_head = (int)chain_prev(pos);
       }
       prev_length = match_length;
@@ -773,9 +829,14 @@ struct ChunkDeflater {
         // inserted at its own scan step)
         syms[ns++] = {(uint16_t)(pos - 1 - prev_start), (uint16_t)prev_length};
         size_t end_ins = pos + (size_t)prev_length - 1;  // exclusive
-        for (size_t p2 = pos + 1; p2 < end_ins; p2++)
-          if (p2 + MIN_MATCH <= total) insert(p2);
+        uint32_t h2 = h;  // hash at pos (hv is true: a match implies one)
+        for (size_t p2 = pos + 1; p2 < end_ins; p2++) {
+          if (p2 + MIN_MATCH > total) break;
+          h2 = roll_h(h2, p2);
+          insert_h(p2, h2);
+        }
         pos = pos + prev_length - 1;
+        hv = false;
         match_available = false;
         match_length = MIN_MATCH - 1;
         if (ns >= SYM_END_N) flush_block(false, pos);
@@ -783,9 +844,17 @@ struct ChunkDeflater {
         syms[ns++] = {0, base[pos - 1]};
         if (ns >= SYM_END_N) flush_block(false, pos);
         pos++;
+        if (hv) {
+          if (pos + MIN_MATCH <= total) h = roll_h(h, pos);
+          else hv = false;
+        }
       } else {
         match_available = true;
         pos++;
+        if (hv) {
+          if (pos + MIN_MATCH <= total) h = roll_h(h, pos);
+          else hv = false;
+        }
       }
     }
     if (match_available) {
@@ -794,8 +863,73 @@ struct ChunkDeflater {
     }
   }
 
+  // QUICK fast mode (the zlib-ng deflate_quick architecture,
+  // quick.rs:12-158 behavior class, implemented our way): one STATIC
+  // block, a single hash probe per position, no lazy deferral, no symbol
+  // buffer — every token is emitted inside the scan loop through fused
+  // static-tree tables, and match interiors are never inserted. Trades a
+  // little ratio for ~2x+ speed over the bit-exact level-1 engine; NOT
+  // oracle-identical output (opt-in via level == QUICK_LEVEL).
+  void run_quick(size_t total, bool last) {
+    insert_dict();
+    bw.put((1u << 1) + (last ? 1 : 0), 3);
+    size_t pos = dict_len;
+    uint32_t h = 0;
+    bool hv = false;
+    while (pos < total) {
+      if (pos + MIN_MATCH <= total) {
+        if (!hv) { h = hash3(base + pos); hv = true; }
+        insert_h(pos, h);
+        long cand = chain_prev(pos);
+        if (cand > 0 && (long)pos - cand <= MAX_DIST_N) {
+          int ml = (pos + MAX_MATCH <= total)
+                       ? match_len_fast(base + pos, base + cand, MAX_MATCH)
+                       : match_len_z((size_t)cand, pos, total);
+          if (ml > (int)(total - pos)) ml = (int)(total - pos);  // lookahead
+          if (ml >= MIN_MATCH) {
+            int dist = (int)((long)pos - cand);
+            int dcode = dist_to_code(dist);
+            uint64_t dfused =
+                (uint64_t)STATIC_TREES.dc[dcode] |
+                ((uint64_t)(dist - RFC.dist_base[dcode])
+                 << STATIC_TREES.dl[dcode]);
+            int dn = STATIC_TREES.dl[dcode] + RFC.dist_extra[dcode];
+            int v = ml - 3;
+            bw.put64((uint64_t)QUICK_TAB.ltab[v]
+                         | (dfused << QUICK_TAB.ltn[v]),
+                     QUICK_TAB.ltn[v] + dn);
+            pos += (size_t)ml;
+            hv = false;  // jump: recompute at the next probe
+            continue;
+          }
+        }
+      }
+      uint8_t c = base[pos];
+      bw.put64(STATIC_TREES.llc[c], STATIC_TREES.lll[c]);
+      pos++;
+      if (hv) {
+        if (pos + MIN_MATCH <= total) h = roll_h(h, pos);
+        else hv = false;
+      }
+    }
+    bw.put64(STATIC_TREES.llc[256], STATIC_TREES.lll[256]);  // EOB
+  }
+
   void run(bool final_flag) {
     size_t total = dict_len + n;
+
+    if (level == QUICK_LEVEL) {
+      run_quick(total, final_flag);
+      if (!final_flag) {
+        // sync seam: byte-align with an empty stored block
+        bw.put(0, 1); bw.put(0, 2); bw.align();
+        bw.byte(0x00); bw.byte(0x00); bw.byte(0xff); bw.byte(0xff);
+      } else {
+        bw.align();
+      }
+      bw.finish();
+      return;
+    }
 
     if (level == 0) {
       // ample-output stored schedule: 64K-1 blocks, last flag on remainder
@@ -1510,7 +1644,7 @@ long zrs_deflate_chunk(const uint8_t* dict, size_t dict_len, const uint8_t* in,
                        size_t n, int level, int final_flag, uint8_t* out_buf,
                        size_t out_cap) {
   if (level < 0) level = 6;
-  if (level > 9) level = 9;
+  if (level > 9 && level != QUICK_LEVEL) level = 9;
   std::vector<uint8_t> out;
   out.reserve(n / 2 + 1024);
   std::vector<uint8_t> merged;

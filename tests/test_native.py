@@ -181,3 +181,46 @@ class TestSpeculativeInflate:
 
         blob = (DATA + TEXT) * 24  # > 2 MiB compressed
         assert z.decompress(zlib.compress(blob, 6)) == blob
+
+
+class TestQuickMode:
+    """QUICK fast mode (native.QUICK): static-tree single-probe engine —
+    valid DEFLATE that zlib round-trips, chainable with sync seams, and a
+    real compressor (not stored passthrough). Reference behavior class:
+    zlib-ng deflate_quick (quick.rs:12-158)."""
+
+    def test_roundtrip(self):
+        if not native.available():
+            pytest.skip("native engine unavailable")
+        data = (b"the quick brown fox jumps over the lazy dog %d " * 500) % tuple(
+            range(500)
+        )
+        q = native.deflate_chunk(data, level=native.QUICK, final=True)
+        assert zlib.decompress(q, -15) == data
+        assert len(q) < len(data) // 2  # genuinely compresses repetitive text
+
+    def test_seam_chaining(self):
+        if not native.available():
+            pytest.skip("native engine unavailable")
+        data = bytes(range(256)) * 1000
+        a, b = data[:100_000], data[100_000:]
+        q1 = native.deflate_chunk(a, level=native.QUICK, final=False)
+        q2 = native.deflate_chunk(b, level=native.QUICK, final=True, dictionary=a)
+        assert zlib.decompress(q1 + q2, -15) == data
+
+    def test_edge_sizes(self):
+        if not native.available():
+            pytest.skip("native engine unavailable")
+        for payload in (b"", b"x", b"ab", b"abc", b"aaaa" * 3, bytes(300)):
+            q = native.deflate_chunk(payload, level=native.QUICK, final=True)
+            assert zlib.decompress(q, -15) == payload
+
+    def test_incompressible(self):
+        if not native.available():
+            pytest.skip("native engine unavailable")
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        data = rng.integers(0, 256, 100_000, dtype=np.uint8).tobytes()
+        q = native.deflate_chunk(data, level=native.QUICK, final=True)
+        assert zlib.decompress(q, -15) == data

@@ -135,6 +135,14 @@ def available() -> bool:
     return _load() is not None
 
 
+# QUICK fast mode (pass as `level`): static trees only, a single hash probe
+# per position, tokens emitted inside the scan loop — the zlib-ng
+# deflate_quick architecture (reference behavior class: quick.rs:12-158).
+# ~2x the speed of zlib level 1 at a worse ratio; output is valid DEFLATE
+# but NOT byte-identical to zlib (levels 1-9 remain the bit-exact engine).
+QUICK = 10
+
+
 def adler32(data: bytes, start: int = 1) -> int:
     return _load().zrs_adler32(start & 0xFFFFFFFF, bytes(data), len(data))
 
@@ -147,9 +155,13 @@ def deflate_chunk(
     data: bytes, level: int = 6, final: bool = True, dictionary: bytes | None = None
 ) -> bytes:
     """Raw-deflate one chunk: complete blocks, byte-aligned end (sync seam if
-    not final), BFINAL set when final."""
+    not final), BFINAL set when final. level accepts 0-9 (bit-exact zlib
+    semantics) or QUICK (the fast mode)."""
     lib = _load()
-    cap = len(data) + len(data) // 250 + 4096
+    # QUICK has no stored fallback: worst case is 9-bit static literals
+    # (the reference's deflateBound quick overhead, deflate.rs:3149-3157)
+    slack = len(data) // 8 if level == QUICK else len(data) // 250
+    cap = len(data) + slack + 4096
     arr, out = _outbuf(cap)
     d = bytes(dictionary) if dictionary else None
     rc = lib.zrs_deflate_chunk(
@@ -292,7 +304,8 @@ def deflate_parallel(
 ) -> bytes:
     """Multithreaded pigz-style chunked raw deflate (one valid stream)."""
     lib = _load()
-    cap = len(data) + len(data) // 250 + 4096 + 16 * (len(data) // max(chunk_size, 1) + 2)
+    slack = len(data) // 8 if level == QUICK else len(data) // 250
+    cap = len(data) + slack + 4096 + 16 * (len(data) // max(chunk_size, 1) + 2)
     arr, out = _outbuf(cap)
     rc = lib.zrs_deflate_parallel(
         bytes(data), len(data), level, chunk_size, 1 if prime_dict else 0,
