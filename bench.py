@@ -426,6 +426,59 @@ def _phase_pallas_inflate(data, dev):
         )
 
 
+def _phase_foreign_kernel(data, dev):
+    """FOREIGN monolithic stream (stdlib zlib) -> native zran index (host
+    skim) -> region decode on the Pallas kernel with 32 KiB window priming
+    and sub-byte start bits (round-3 capability; VERDICT r2 item 7). The
+    trace captures device seconds only; the host index pass is reported
+    separately as wall time."""
+    import zlib as _z
+
+    slice_ = bytes(data[: 4 * 1024 * 1024])
+    z = _z.compress(slice_, LEVEL)
+    from zlib_rs_tpu.parallel.inflate import decompress_foreign
+
+    t0 = time.monotonic()
+    with _watchdog(min(480, remaining() - 60), "foreign kernel decode"):
+        with _phase("device:foreign_trace"):
+            import jax
+
+            trace_dir = f"/tmp/zrs_foreign_{os.getpid()}"
+            with jax.profiler.trace(trace_dir):
+                out = decompress_foreign(z, span=KCHUNK, engine="kernel")
+    assert out == slice_
+    wall = time.monotonic() - t0
+    # pull the device span out of the trace
+    files = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
+    sec = None
+    if files:
+        with gzip.open(files[-1]) as f:
+            tr = json.load(f)
+        pid_names = {
+            e["pid"]: e["args"].get("name", "")
+            for e in tr.get("traceEvents", [])
+            if e.get("ph") == "M" and e.get("name") == "process_name"
+        }
+        tot = sum(
+            e.get("dur", 0) / 1e6
+            for e in tr.get("traceEvents", [])
+            if e.get("ph") == "X"
+            and "TPU" in pid_names.get(e.get("pid"), "")
+            and e.get("name", "").startswith("jit_")
+        )
+        sec = tot or None
+    if sec:
+        dev["foreign_kernel_decode_trace_s"] = round(sec, 3)
+        dev["foreign_kernel_decode_gbps"] = round(len(slice_) / sec / 1e9, 5)
+    dev["foreign_kernel_decode_wall_s"] = round(wall, 1)
+    dev["foreign_kernel_decode_bytes"] = len(slice_)
+    _log(
+        f"foreign kernel decode (zran seeds + window priming): device "
+        f"{dev.get('foreign_kernel_decode_gbps')} GB/s, wall {wall:.0f}s incl "
+        f"index + compile"
+    )
+
+
 def _phase_kernel_ratio(data, dev):
     """Chip-verified kernel-path ratio at the kernel engine configuration.
     The measured kernel encode rate sizes the prefix so this phase fits its
@@ -564,6 +617,7 @@ def bench_device(data: bytes, seed_pkl: str | None) -> dict:
         ("kernel_encode", 180, lambda: _phase_kernel_encode(data, flat, dev)),
         ("pallas_inflate", 150, lambda: _phase_pallas_inflate(data, dev)),
         ("kernel_ratio", 180, lambda: _phase_kernel_ratio(data, dev)),
+        ("foreign_kernel", 240, lambda: _phase_foreign_kernel(data, dev)),
         ("swarm", 150, lambda: _phase_swarm(seed_pkl, dev)),
         # a blocked tunnel call can outlive SIGALRM watchdogs (round-3
         # observation: this phase ran 1118s past a 300s alarm), so it only

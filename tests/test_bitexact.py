@@ -221,6 +221,64 @@ class TestLevelZeroStructural:
         assert len(ours) <= len(zoracle(data, 0))
 
 
+class TestLevelZeroStreamingByteEqual:
+    """Streaming level-0 BYTE equality vs zlib's compressobj under
+    input-driven schedules (the reference's stored path is schedule-driven,
+    stored.rs:8-289). Whenever per-call avail_in stays below the 64K-1
+    stored-block cap, zlib's segmentation is fully input-determined and our
+    engine must match it byte-for-byte, including mid-stream flushes.
+
+    Above that cap the segmentation depends on the AVAIL_OUT schedule:
+    CPython's compressobj presents a growing internal output buffer, so its
+    block splits are an artifact of that buffer's growth; our unbounded-
+    output schedule emits classic zlib's ample-avail_out segmentation
+    (full 65535-byte blocks) instead. Those cases are covered structurally
+    above."""
+
+    def _pump(self, data, step, flushes=()):
+        from zlib_rs_tpu.models.deflate import Deflator
+        from zlib_rs_tpu.config import DeflateConfig, DeflateFlush
+
+        fl_map = {
+            zlib.Z_NO_FLUSH: DeflateFlush.NO_FLUSH,
+            zlib.Z_SYNC_FLUSH: DeflateFlush.SYNC_FLUSH,
+            zlib.Z_FULL_FLUSH: DeflateFlush.FULL_FLUSH,
+        }
+        co = zlib.compressobj(0, zlib.DEFLATED, 15)
+        d = Deflator(DeflateConfig(level=0, window_bits=15))
+        ref = bytearray()
+        ours = bytearray()
+        for k, i in enumerate(range(0, len(data), step)):
+            piece = data[i : i + step]
+            zf = flushes[k % len(flushes)] if flushes else zlib.Z_NO_FLUSH
+            ref += co.compress(piece)
+            if zf != zlib.Z_NO_FLUSH:
+                ref += co.flush(zf)
+            d.deflate(piece, fl_map[zf])
+            ours += d.take_output()
+        ref += co.flush()
+        d.deflate(b"", DeflateFlush.FINISH)
+        ours += d.take_output()
+        assert bytes(ref) == bytes(ours), (
+            f"level-0 stream diverged (step={step}, flushes={flushes})"
+        )
+        assert zlib.decompress(bytes(ours)) == data
+
+    @pytest.mark.parametrize("step", [17, 1000, 8192, 40000])
+    def test_no_flush_schedules(self, step):
+        # steps past ~64K hit CPython's internal avail_out buffer growth
+        # (observed ref splits like 33304/65531) — excluded per docstring
+        self._pump(corpus("lcet")[:300000], step)
+
+    def test_sync_and_full_flush_mix(self):
+        self._pump(
+            corpus("lcet")[:200000],
+            9000,
+            flushes=(zlib.Z_NO_FLUSH, zlib.Z_SYNC_FLUSH, zlib.Z_NO_FLUSH,
+                     zlib.Z_FULL_FLUSH),
+        )
+
+
 class TestReferenceFixtureVectors:
     """Byte-expected vectors mirroring the reference's fuzz_based_test
     pinning (zlib-rs/src/deflate.rs:3572-3812): since our oracle is live

@@ -78,3 +78,50 @@ def test_kernel_multiblock_sync_flush():
     s = c.compress(data1) + c.flush(zlib.Z_FULL_FLUSH) + c.compress(data2) + c.flush()
     parts = SW.decode_chunks_kernel([s], [len(data1) + len(data2)], interpret=True)
     assert parts[0] == data1 + data2
+
+
+def test_kernel_window_priming_regions():
+    """zran-style region decode: streams starting mid-deflate with a 32 KiB
+    window pre-loaded into the kernel's output head (the round-3 foreign-
+    stream capability). Built directly: compress two chunks where the second
+    is dictionary-primed, then decode the second standalone with the window."""
+    import jax.numpy as jnp
+
+    from zlib_rs_tpu import native
+    from zlib_rs_tpu.ops.pallas.inflate_kernel import (
+        decode_streams_pallas, pack_streams_words,
+    )
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    text = (b"window priming exercises back-references across the seam " * 800)
+    a, b = text[:32768], text[32768:65536]
+    body_b = native.deflate_chunk(b, level=6, final=True, dictionary=a)
+    # sanity: body_b alone is NOT independently decodable (references a)
+    with pytest.raises(Exception):
+        zlib.decompress(body_b, -15)
+    words, bits = pack_streams_words([body_b])
+    win = np.zeros((1, 32768), np.uint8)
+    win[0] = np.frombuffer(a, np.uint8)
+    out, produced, bad, _ = decode_streams_pallas(
+        jnp.asarray(words), jnp.zeros((1,), np.int32), jnp.asarray(bits),
+        jnp.asarray(np.array([len(b)], np.int32)),
+        max_out=32768, win=jnp.asarray(win), interpret=True,
+    )
+    assert not np.asarray(bad)[0]
+    assert int(np.asarray(produced)[0]) == len(b)
+    assert np.asarray(out)[0, : len(b)].tobytes() == b
+
+
+def test_foreign_stream_kernel_engine():
+    """decompress_foreign(engine='kernel'): a monolithic stdlib-zlib stream
+    is zran-indexed and its regions decode on the Pallas kernel with window
+    priming and sub-byte start bits."""
+    from zlib_rs_tpu.parallel.inflate import decompress_foreign
+
+    text = open(
+        "/root/reference/test-libz-rs-sys/src/test-data/lcet10.txt", "rb"
+    ).read()[:120_000]
+    z = zlib.compress(text, 6)
+    out = decompress_foreign(z, span=24 * 1024, engine="kernel")
+    assert out == text

@@ -39,8 +39,8 @@ def _try_native_compress(data: bytes, level: int, window_bits: int):
         if not native.available():
             return None
         raw = native.deflate_chunk(data, level=level, final=True)
-    except Exception:
-        return None
+    except (RuntimeError, OSError, ValueError):
+        return None  # engine unavailable/rejected: host path handles it
     if window_bits == -15:
         return raw
     if window_bits == 15:
@@ -160,8 +160,8 @@ def _try_native_decompress(data: bytes, window_bits: int):
                 return None
             return out
         return None
-    except Exception:
-        return None
+    except (RuntimeError, OSError, ValueError, BufferError):
+        return None  # native decode rejected the stream: host path decides
 
 
 def decompress(

@@ -113,11 +113,11 @@ def _make_kernel(one_level: bool):
     the classic two-level inftrees layout for large-max_out callers where
     SMEM can't hold 2x128 KiB tables."""
 
-    def kernel(meta_ref, clord_ref, words_ref, out_ref, st_ref,
+    def kernel(meta_ref, clord_ref, words_ref, win_ref, out_ref, st_ref,
                lltab, dtab, cltab, lens, work, cnt, offs):
         return _kernel_body(
-            one_level, meta_ref, clord_ref, words_ref, out_ref, st_ref,
-            lltab, dtab, cltab, lens, work, cnt, offs,
+            one_level, meta_ref, clord_ref, words_ref, win_ref, out_ref,
+            st_ref, lltab, dtab, cltab, lens, work, cnt, offs,
         )
 
     return kernel
@@ -125,9 +125,12 @@ def _make_kernel(one_level: bool):
 
 def _kernel_body(
     one_level,
-    meta_ref,  # SMEM i32 (1,1,8): start_bit, comp_bits, out_len, max_out_b
+    meta_ref,  # SMEM i32 (1,1,8): start_bit, comp_bits, out_len, max_out_b,
+    #            win_words (output positions start at 4*win_words; the
+    #            window is pre-copied there so back-references reach it)
     clord_ref,  # SMEM i32 (1,1,32): code-length code order (RFC 1951)
     words_ref,  # SMEM u32 (1,1,W): LE32-packed compressed bytes
+    win_ref,  # SMEM u32 (1,1,WW): LE32-packed window bytes (zran priming)
     out_ref,  # SMEM u32 (1,1,OW): LE32-packed output bytes
     st_ref,  # SMEM i32 (1,1,8): produced, bad, end_bitpos
     lltab,  # SMEM u32 scratch (1, LL_CAP or 2^15)
@@ -802,11 +805,23 @@ def _kernel_body(
         )
         return bp, op, b, done
 
+    # zran-style window priming: pre-copy the window words into the output
+    # head so back-references into history resolve naturally; the region's
+    # own output starts at 4*win_words (out_len/max_out arrive pre-shifted)
+    nwin = meta_ref[0, 0, 4]
+
+    def wcp(i, _):
+        out_ref[0, 0, i] = win_ref[0, 0, i]
+        return 0
+
+    lax.fori_loop(0, nwin, wcp, 0)
+
     bitpos, outpos, bad, _done = lax.while_loop(
-        blk_cond, blk_body, (start_bit, jnp.int32(0), jnp.bool_(False), jnp.bool_(False))
+        blk_cond, blk_body,
+        (start_bit, nwin << 2, jnp.bool_(False), jnp.bool_(False)),
     )
     bad = bad | ((out_len >= 0) & (outpos != out_len))
-    st_ref[0, 0, 0] = outpos
+    st_ref[0, 0, 0] = outpos - (nwin << 2)
     st_ref[0, 0, 1] = bad.astype(jnp.int32)
     st_ref[0, 0, 2] = bitpos
     st_ref[0, 0, 3] = 0
@@ -818,6 +833,7 @@ def _kernel_body(
 def decode_streams_pallas(
     words, start_bits, comp_bits, out_lens, *,
     max_out: int, interpret: bool = False, one_level: bool | None = None,
+    win=None,
 ):
     """Decode B raw-deflate streams, each fully in-SMEM on its grid step.
 
@@ -830,23 +846,43 @@ def decode_streams_pallas(
     one_level selects flat (single-load) decode tables — faster, but their
     2x2^15-entry SMEM scratch only fits alongside buffers for max_out up to
     ~48 KiB; default picks automatically.
+
+    win (uint8[B, WPAD], WPAD % 4 == 0) primes each stream's 32 KiB history
+    window (zran access-point decode of foreign streams): the window bytes
+    are RIGHT-aligned in the buffer (short windows lead with don't-care
+    bytes a valid region never references) and get pre-copied into the
+    output head; returned outputs/produced counts cover region bytes only.
     """
     B, W = words.shape
+    wpad = 0 if win is None else win.shape[1]
+    if wpad % 4:
+        raise ValueError("win buffer length must be a multiple of 4")
     if one_level is None:
-        one_level = max_out + (W * 4) <= 96 * 1024
+        one_level = max_out + wpad + (W * 4) <= 96 * 1024
     ll_cap = 1 << 15 if one_level else LL_CAP
     d_cap = 1 << 15 if one_level else D_CAP
-    ow = (max_out + 3) // 4 + 1  # +1 slack word absorbing dead writes
+    ow = (max_out + wpad + 3) // 4 + 1  # +1 slack word absorbing dead writes
+    ww = max(1, wpad // 4)
+    if win is None:
+        win_w = jnp.zeros((B, 1, ww), jnp.uint32)
+    else:
+        wb = win.reshape(B, ww, 4).astype(jnp.uint32)
+        win_w = (
+            wb[:, :, 0] | (wb[:, :, 1] << 8) | (wb[:, :, 2] << 16)
+            | (wb[:, :, 3] << 24)
+        ).reshape(B, 1, ww)
+    ol = out_lens.astype(jnp.int32)
     meta = jnp.stack(
         [
             start_bits.astype(jnp.int32),
             comp_bits.astype(jnp.int32),
-            out_lens.astype(jnp.int32),
-            jnp.full((B,), max_out, jnp.int32),
+            jnp.where(ol >= 0, ol + wpad, ol),
+            jnp.full((B,), max_out + wpad, jnp.int32),
+            jnp.full((B,), wpad // 4, jnp.int32),
         ],
         axis=1,
     )
-    meta = jnp.pad(meta, ((0, 0), (0, 4))).reshape(B, 1, 8)
+    meta = jnp.pad(meta, ((0, 0), (0, 3))).reshape(B, 1, 8)
     words3 = words.reshape(B, 1, W)
     clord = jnp.asarray(
         [16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15]
@@ -860,6 +896,7 @@ def decode_streams_pallas(
             pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 32), lambda b: (0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, W), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, ww), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, ow), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
@@ -879,12 +916,12 @@ def decode_streams_pallas(
             pltpu.SMEM((1, 16), jnp.int32),
         ],
         interpret=interpret,
-    )(meta, clord, words3)
-    # LE32 words -> bytes
+    )(meta, clord, words3, win_w)
+    # LE32 words -> bytes; drop the window head
     out_b = jax.lax.shift_right_logical(
         out_w[:, 0, :, None],
         jnp.array([0, 8, 16, 24], jnp.uint32)[None, None, :],
-    ).astype(jnp.uint8).reshape(B, ow * 4)[:, :max_out]
+    ).astype(jnp.uint8).reshape(B, ow * 4)[:, wpad : wpad + max_out]
     produced = st[:, 0, 0]
     bad = st[:, 0, 1] > 0
     end_bit = st[:, 0, 2]

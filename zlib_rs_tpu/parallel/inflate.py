@@ -412,6 +412,48 @@ def decompress_chunks(
 
     cj, sbj, ebj, tgj = (jnp.asarray(comp), jnp.asarray(sb),
                          jnp.asarray(eb), jnp.asarray(targets))
+
+    # preferred engine: the Pallas sequential-inflate kernel — since round 3
+    # it takes per-region 32 KiB window priming and sub-byte start bits, so
+    # zran regions of FOREIGN streams decode on it directly. Gated on the
+    # region fitting the kernel's SMEM budget (output + window + input +
+    # tables); bad lanes fall through to the XLA engines below.
+    kernel_auto = engine == "kernel" or (
+        engine == "auto" and jax.devices()[0].platform == "tpu"
+    )
+    if kernel_auto and max_out + wlen + L <= 384 * 1024:
+        from ..ops.pallas.inflate_kernel import decode_streams_pallas
+
+        try:
+            wpack = comp.reshape(B, L // 4, 4).astype(np.uint32)
+            words = wpack[:, :, 0] | (wpack[:, :, 1] << 8) | (
+                wpack[:, :, 2] << 16) | (wpack[:, :, 3] << 24)
+            words = np.concatenate([words, np.zeros((B, 2), np.uint32)], axis=1)
+            out_b, produced, kbad, _ebit = decode_streams_pallas(
+                jnp.asarray(words), sbj, ebj, tgj,
+                max_out=max_out,
+                win=jnp.asarray(wins) if wlen else None,
+                interpret=jax.devices()[0].platform != "tpu",
+            )
+            kbad_np = np.asarray(kbad)
+            prod_np = np.asarray(produced)
+            ok = ~kbad_np & (prod_np >= targets)
+            if ok[:n_real].all():
+                out_np = np.asarray(out_b)
+                return [
+                    out_np[i, : int(out_sizes[i])].tobytes()
+                    for i in range(n_real)
+                ]
+            if engine == "kernel":
+                which = int(np.flatnonzero(~ok[:n_real])[0])
+                raise ValueError(f"region {which} failed to decode on device")
+        except (ValueError, RuntimeError, OSError) as e:
+            if engine == "kernel":
+                raise
+            from .pipeline import _note_fallback
+
+            _note_fallback("region_kernel", e)
+
     tk = ta = tb = None
     if engine in ("auto", "turbo"):
         # block budget: zlib-family encoders emit ~one block per 16K
@@ -442,7 +484,7 @@ def decompress_chunks(
     return [vals_np[i, : int(out_sizes[i])].tobytes() for i in range(n_real)]
 
 
-def decompress_foreign(data: bytes, span: int = 1 << 20) -> bytes:
+def decompress_foreign(data: bytes, span: int = 1 << 20, engine: str = "auto") -> bytes:
     """Device decode of a FOREIGN zlib/gzip/raw stream (not produced by this
     framework): multi-member gzip members split on host become independent
     device regions; monolithic streams are zran-indexed (one fast native
@@ -480,7 +522,9 @@ def decompress_foreign(data: bytes, span: int = 1 << 20) -> bytes:
                 (body[:used], len(full), int.from_bytes(trailer[:4], "little"))
             )
             pos = pos + hdr + used + 8
-        parts = decompress_chunks([m[0] for m in members], [m[1] for m in members])
+        parts = decompress_chunks(
+            [m[0] for m in members], [m[1] for m in members], engine=engine
+        )
         for part, (_b, _n, crc) in zip(parts, members):
             if checksum.crc32(part) != crc:
                 raise ValueError("incorrect data check")
@@ -508,7 +552,9 @@ def decompress_foreign(data: bytes, span: int = 1 << 20) -> bytes:
         starts.append(bitpos & 7)
         targets.append(eout - out_off)
         windows.append(window)
-    parts = decompress_chunks(bodies, targets, windows=windows, start_bits=starts)
+    parts = decompress_chunks(
+        bodies, targets, windows=windows, start_bits=starts, engine=engine
+    )
     out = b"".join(parts)
     if (
         len(data) >= 2 and (data[0] & 0x0F) == 8 and ((data[0] << 8) | data[1]) % 31 == 0

@@ -40,6 +40,29 @@ from ..ops import huffman as H
 
 DEFAULT_CHUNK = 128 * 1024
 
+# Engine-fallback observability (VERDICT r2: broad excepts silently masked
+# kernel regressions as "fell back"). Every caught fallback increments a
+# counter keyed by stage and exception type; fallback_stats() exposes the
+# map and tests can assert it stays empty on healthy paths.
+import collections as _collections
+
+_FALLBACKS: "_collections.Counter[str]" = _collections.Counter()
+
+# the exception classes a device path may LEGITIMATELY raise when the
+# kernel/backend is unavailable or rejects the shape — anything else
+# (TypeError, IndexError, ...) is a bug and must propagate
+_EXPECTED_DEVICE_ERRORS = (ValueError, RuntimeError, OSError, ImportError,
+                           NotImplementedError)
+
+
+def _note_fallback(stage: str, exc: BaseException) -> None:
+    _FALLBACKS[f"{stage}:{type(exc).__name__}"] += 1
+
+
+def fallback_stats() -> dict:
+    """Counters of device-path fallbacks since import: {stage:ExcType: n}."""
+    return dict(_FALLBACKS)
+
 
 class ChunkIndex(list):
     """Chunk index: a plain list of (body_offset, body_len, out_len) tuples
@@ -223,8 +246,8 @@ def _adler_batch_best(chunks_slice, lens):
             from ..ops.pallas import checksum_kernels as PK
 
             return PK.adler32_batch_pallas(chunks_slice, lens)
-        except Exception:
-            pass
+        except _EXPECTED_DEVICE_ERRORS as e:
+            _note_fallback("adler_pallas", e)
     return _adler_batch(chunks_slice, lens)
 
 
@@ -244,8 +267,8 @@ def _crc_batch_best(full: np.ndarray):
                 else full
             )
             return np.asarray(CK.crc32_batch_auto(jnp.asarray(padded)))[:B]
-    except Exception:
-        pass
+    except _EXPECTED_DEVICE_ERRORS as e:
+        _note_fallback("crc_pallas", e)
     return np.asarray(checksum.crc32_batch_jax(jnp.asarray(full)))
 
 
@@ -618,7 +641,8 @@ def decompress_parallel(data: bytes, index, engine: str = "auto") -> bytes:
         try:
             parts = swarm_inflate.decode_chunks_kernel(bodies, out_sizes)
             result = b"".join(parts)
-        except Exception:
+        except _EXPECTED_DEVICE_ERRORS as e:
+            _note_fallback("kernel_decode", e)
             result = None
     if result is None and engine == "tpu" and seeds is not None and all(
         s is not None for s in seeds
@@ -630,7 +654,8 @@ def decompress_parallel(data: bytes, index, engine: str = "auto") -> bytes:
         try:
             parts = swarm_inflate.decode_chunks_seeded(bodies, out_sizes, seeds)
             result = b"".join(parts)
-        except ValueError:
+        except ValueError as e:
+            _note_fallback("swarm_decode", e)
             result = None  # drift/shape mismatch: exact engines below
     if result is None and engine in ("auto", "native"):
         from .. import native

@@ -113,7 +113,7 @@ def parse_block_header(body: bytes):
         cl_lens[_CL_ORDER_NP[i]] = br.take(3)
     try:
         _, cl_codes = H.canonical_codes(cl_lens)
-    except Exception:
+    except ValueError:  # over/under-subscribed code-length tree
         return None
     # decode table for the 7-bit code-length alphabet, host-side
     lut = {}
