@@ -943,13 +943,3 @@ def pack_streams_words(payloads):
         bits[i] = len(p) * 8
     words = arr.view("<u4")
     return words, bits
-
-
-# Backwards-compatible single-block entry point used by round-2 callers:
-# the new kernel subsumes it (a single-block body is just a stream whose
-# expected out_len stops the block loop).
-def decode_blocks_pallas(words_byteoffset, ll_lut, d_lut, start_bits, out_lens, *, max_out, interpret=False):  # pragma: no cover
-    raise NotImplementedError(
-        "the flat-LUT kernel was replaced by decode_streams_pallas "
-        "(SMEM-resident full inflate); use swarm_inflate.decode_chunks_kernel"
-    )
