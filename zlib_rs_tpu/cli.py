@@ -38,6 +38,11 @@ def _build_parser() -> argparse.ArgumentParser:
         )
     p.add_argument("--level", type=int, default=None, help="compression level 0-9")
     p.add_argument(
+        "--quick", action="store_true",
+        help="native QUICK fast mode: static trees, single hash probe "
+             "(~2x zlib -1 speed at a worse ratio; valid DEFLATE output)",
+    )
+    p.add_argument(
         "--format", choices=("gzip", "zlib", "raw"), default="gzip",
         help="container format (default gzip)",
     )
@@ -85,6 +90,15 @@ def _wrap_raw(raw: bytes, data: bytes, fmt: str, level: int) -> bytes:
 
 def _compress(data: bytes, args) -> bytes:
     level = args.level if args.level is not None else 6
+    if getattr(args, "quick", False):
+        from . import native as _n
+
+        if not _n.available():
+            raise SystemExit("--quick needs the native engine")
+        raw = _n.deflate_parallel(
+            data, level=_n.QUICK, chunk_size=args.chunk, nthreads=args.threads
+        )
+        return _wrap_raw(raw, data, args.format, 1)
     wbits = _wbits_for(args.format, False)
     engine = args.engine
     if engine == "auto":

@@ -442,3 +442,347 @@ def scan_from_bytes(
         lambda mp, ml, nm, nv, stt: _to_positional(mp, ml, nm, n, nv, stt)
     )(mpos, mld, nm_eff, n_valid.astype(jnp.int32), start.astype(jnp.int32))
     return tok, length, dist
+
+
+# ---------------------------------------------------------------------------
+# Frequency + bitstream-pack kernels: with these, the whole dynamic-Huffman
+# encode path runs on the TensorCore from the scan's COMPACT match stream —
+# the XLA positional stages (scatter tokenization, compare-reduce freqs,
+# per-token gathers, segmented-scan packing) measured ~half of the encode
+# batch and disappear. The tree build (Kraft lengths + canonical codes over
+# 286+30 symbols) stays in XLA: it is tiny.
+# ---------------------------------------------------------------------------
+
+
+def _len_sym(mlen):
+    """(length code 0..28, extra_bits, extra_val) — arithmetic, matches
+    lz77.length_symbol_arith exactly."""
+    v = mlen - MIN_MATCH
+    vs = jnp.maximum(v, 8)
+    e = (32 - lax.clz(vs)) - 3
+    lc = jnp.where(v < 8, v, 4 + 4 * e + ((vs >> e) & 3))
+    lc = jnp.where(v == 255, 28, lc)
+    small = (v < 8) | (v == 255)
+    eb = jnp.where(small, 0, e)
+    ev = jnp.where(small, 0, v & ((jnp.int32(1) << jnp.maximum(e, 0)) - 1))
+    return lc, eb, ev
+
+
+def _dist_sym(dist):
+    """(dist code 0..29, extra_bits, extra_val) — matches
+    lz77.dist_symbol_arith exactly."""
+    d = dist - 1
+    ds = jnp.maximum(d, 4)
+    e = (32 - lax.clz(ds)) - 2
+    dc = jnp.where(d < 4, d, 2 * (e + 1) + ((ds >> e) & 1))
+    eb = jnp.where(d < 4, 0, e)
+    ev = jnp.where(d < 4, 0, d & ((jnp.int32(1) << jnp.maximum(e, 0)) - 1))
+    return dc, eb, ev
+
+
+def _freq_kernel(meta_ref, words_ref, mpos_ref, mld_ref, freq_ref):
+    """Symbol histogram from the compact match stream: literal bytes in the
+    gaps between matches + length/dist codes per match. Layout of freq_ref
+    (1,1,320): ll symbols at 0..285 (EOB left to the caller), dist codes at
+    288..317."""
+    n_valid = meta_ref[0, 0, 0]
+    start = meta_ref[0, 0, 1]
+    nmatch = meta_ref[0, 0, 2]
+
+    def byte_at(p):
+        w = words_ref[0, 0, p >> 2]
+        return ((w >> ((p & 3) << 3).astype(jnp.uint32)) & jnp.uint32(0xFF)).astype(
+            jnp.int32
+        )
+
+    def zf(i, _):
+        freq_ref[0, 0, i] = 0
+        return 0
+
+    lax.fori_loop(0, 320, zf, 0)
+
+    def lits(frm, to):
+        def one(p, _):
+            b = byte_at(p)
+            freq_ref[0, 0, b] = freq_ref[0, 0, b] + 1
+            return 0
+
+        lax.fori_loop(frm, to, one, 0)
+
+    def mstep(k, pos):
+        mp = mpos_ref[0, 0, k]
+        ml = (mld_ref[0, 0, k] >> jnp.uint32(15)).astype(jnp.int32) + MIN_MATCH
+        md = (mld_ref[0, 0, k] & jnp.uint32(0x7FFF)).astype(jnp.int32) + 1
+        lits(pos, mp)
+        lc, _leb, _lev = _len_sym(ml)
+        dc, _deb, _dev = _dist_sym(md)
+        freq_ref[0, 0, 257 + lc] = freq_ref[0, 0, 257 + lc] + 1
+        freq_ref[0, 0, 288 + dc] = freq_ref[0, 0, 288 + dc] + 1
+        return mp + ml
+
+    pos = lax.fori_loop(0, nmatch, mstep, start)
+    lits(pos, n_valid)
+
+
+def _pack_kernel(
+    meta_ref,   # i32 (1,1,8): n_valid, start, nmatch, n_seeds, seed_stride
+    words_ref,  # u32 (1,1,W): chunk bytes
+    mpos_ref,   # i32 (1,1,CAP_M+8)
+    mld_ref,    # u32 (1,1,CAP_M+8)
+    lltab_ref,  # u32 (1,1,288): canonical code | (nbits << 16)
+    dtab_ref,   # u32 (1,1,32)
+    owords_ref,  # u32 (1,1,OWW): packed LSB-first body bits
+    st_ref,     # i32 (1,1,8): total_bits, bad
+    sbit_ref,   # i32 (1,1,NS): seed body-relative bit offsets
+    sout_ref,   # i32 (1,1,NS): seed chunk-relative output offsets
+    tab_echo_ref,  # u32 (1,1,320): the EXACT tables this kernel consumed
+):
+    # echo the consumed code tables: the caller derives the header length
+    # arrays from THIS copy, so header and body agree by construction even
+    # if XLA materializes divergent recomputations of the (float-tie
+    # nondeterministic) Kraft builder upstream (chip-debugged round 3 —
+    # optimization_barrier alone did not stop the divergence)
+    def _echo(i, _):
+        tab_echo_ref[0, 0, i] = lltab_ref[0, 0, jnp.minimum(i, 287)]
+        return 0
+
+    lax.fori_loop(0, 288, _echo, 0)
+
+    def _echo_d(i, _):
+        tab_echo_ref[0, 0, 288 + i] = dtab_ref[0, 0, i]
+        return 0
+
+    lax.fori_loop(0, 32, _echo_d, 0)
+    n_valid = meta_ref[0, 0, 0]
+    start = meta_ref[0, 0, 1]
+    nmatch = meta_ref[0, 0, 2]
+    n_seeds = meta_ref[0, 0, 3]
+    stride = meta_ref[0, 0, 4]
+    OWW = owords_ref.shape[2]
+    DEADW = OWW - 1
+
+    def byte_at(p):
+        w = words_ref[0, 0, p >> 2]
+        return ((w >> ((p & 3) << 3).astype(jnp.uint32)) & jnp.uint32(0xFF)).astype(
+            jnp.int32
+        )
+
+    # bit accumulator in registers; one plain store per filled word
+    def put(st, v, nb):
+        acc, cnt, owi, b = st
+        acc = acc | (v << cnt.astype(jnp.uint32))
+        ncnt = cnt + nb
+        spill = ncnt >= 32
+        owi_st = jnp.where(spill, jnp.minimum(owi, DEADW), DEADW)
+        owords_ref[0, 0, owi_st] = acc
+        # nb < 32 and spill implies cnt >= 1, so 32 - cnt <= 31
+        acc = jnp.where(spill, v >> (jnp.uint32(32) - cnt.astype(jnp.uint32)), acc)
+        b = b | (spill & (owi >= DEADW))
+        return (acc, jnp.where(spill, ncnt - 32, ncnt),
+                owi + spill.astype(jnp.int32), b)
+
+    def emit_lit(st, p):
+        e = lltab_ref[0, 0, byte_at(p)]
+        return put(st, e & jnp.uint32(0xFFFF), (e >> jnp.uint32(16)).astype(jnp.int32))
+
+    def seed_check(st, p):
+        # record every seed target the next token at p satisfies
+        acc, cnt, owi, b, sidx = st
+
+        def s_cond(s):
+            return (s[4] < n_seeds) & (p >= start + s[4] * stride)
+
+        def s_body(s):
+            acc, cnt, owi, b, sidx = s
+            slot = jnp.minimum(sidx, sbit_ref.shape[2] - 1)
+            sbit_ref[0, 0, slot] = owi * 32 + cnt
+            sout_ref[0, 0, slot] = p - start
+            return acc, cnt, owi, b, sidx + 1
+
+        return lax.while_loop(s_cond, s_body, st)
+
+    def lits(st, frm, to):
+        def one(p, s):
+            s = seed_check(s, p)
+            acc, cnt, owi, b, sidx = s
+            acc, cnt, owi, b = emit_lit((acc, cnt, owi, b), p)
+            return (acc, cnt, owi, b, sidx)
+
+        return lax.fori_loop(frm, to, one, st)
+
+    def mstep(k, carry):
+        pos, st = carry
+        mp = mpos_ref[0, 0, k]
+        ml = (mld_ref[0, 0, k] >> jnp.uint32(15)).astype(jnp.int32) + MIN_MATCH
+        md = (mld_ref[0, 0, k] & jnp.uint32(0x7FFF)).astype(jnp.int32) + 1
+        st = lits(st, pos, mp)
+        st = seed_check(st, mp)
+        acc, cnt, owi, b, sidx = st
+        lc, leb, lev = _len_sym(ml)
+        le = lltab_ref[0, 0, 257 + lc]
+        v1 = (le & jnp.uint32(0xFFFF)) | (
+            lev.astype(jnp.uint32) << (le >> jnp.uint32(16))
+        )
+        s4 = put((acc, cnt, owi, b),
+                 v1, (le >> jnp.uint32(16)).astype(jnp.int32) + leb)
+        dc, deb, dev = _dist_sym(md)
+        de = dtab_ref[0, 0, dc]
+        v2 = (de & jnp.uint32(0xFFFF)) | (
+            dev.astype(jnp.uint32) << (de >> jnp.uint32(16))
+        )
+        s5 = put(s4, v2, (de >> jnp.uint32(16)).astype(jnp.int32) + deb)
+        return mp + ml, (s5[0], s5[1], s5[2], s5[3], sidx)
+
+    st0 = (jnp.uint32(0), jnp.int32(0), jnp.int32(0), jnp.bool_(False),
+           jnp.int32(0))
+    pos, st = lax.fori_loop(0, nmatch, mstep, (start, st0))
+    st = lits(st, pos, n_valid)
+    acc, cnt, owi, b, sidx = st
+    # EOB terminator
+    e = lltab_ref[0, 0, 256]
+    acc, cnt, owi, b = put((acc, cnt, owi, b),
+                           e & jnp.uint32(0xFFFF),
+                           (e >> jnp.uint32(16)).astype(jnp.int32))
+    # flush the partial word, then ZERO the slack word after it: the host
+    # splicer reads one byte past the valid end and the seam assembler
+    # assumes zero padding bits — SMEM output buffers are NOT implicitly
+    # zeroed (chip-debugged: garbage here corrupted the bits between a
+    # chunk's EOB and its sync seam, failing whole-stream decode while
+    # every chunk decoded clean in isolation)
+    owords_ref[0, 0, jnp.minimum(owi, DEADW)] = acc
+    owords_ref[0, 0, jnp.minimum(owi + 1, DEADW)] = jnp.uint32(0)
+    total = owi * 32 + cnt  # total body bits incl. EOB
+    # unreached seed targets point at end-of-body (empty walkers) — the
+    # same convention as the XLA packer's seed fill
+    out_len = n_valid - start
+
+    def fill_cond(s):
+        return s < n_seeds
+
+    def fill_body(s):
+        slot = jnp.minimum(s, sbit_ref.shape[2] - 1)
+        sbit_ref[0, 0, slot] = total
+        sout_ref[0, 0, slot] = out_len
+        return s + 1
+
+    lax.while_loop(fill_cond, fill_body, sidx)
+    st_ref[0, 0, 0] = total
+    st_ref[0, 0, 1] = b.astype(jnp.int32)
+    st_ref[0, 0, 2] = 0
+    st_ref[0, 0, 3] = 0
+
+
+@functools.partial(jax.jit, static_argnames=("n_seeds", "interpret"))
+def freq_pack_chunks_pallas(
+    chunks_u8, n_valid, start, mpos, mld, nmatch, *,
+    n_seeds: int = 0, interpret: bool = False,
+):
+    """Freqs -> XLA Kraft trees -> packed body bits, all from the scan's
+    compact match stream (no positional arrays).
+
+    chunks_u8: uint8[B, L] padded chunk buffers (L % 4 == 0); the match
+    stream comes from scan_chunks_pallas. Returns (words u32[B, OWW],
+    total_bits i32[B], ll_lens i32[B, 286], d_lens i32[B, 30][, seeds_bit,
+    seeds_out i32[B, n_seeds]], bad bool[B]).
+    """
+    from .. import dynhuff
+
+    B, L = chunks_u8.shape
+    if L % 4:
+        raise ValueError("chunk buffer length must be a multiple of 4")
+    bb = chunks_u8.reshape(B, L // 4, 4).astype(jnp.uint32)
+    w4 = bb[:, :, 0] | (bb[:, :, 1] << 8) | (bb[:, :, 2] << 16) | (bb[:, :, 3] << 24)
+    w4 = jnp.concatenate([w4, jnp.zeros((B, 2), jnp.uint32)], axis=1)
+    W = w4.shape[1]
+    C = mpos.shape[1]
+    nv = n_valid.astype(jnp.int32)
+    stt = start.astype(jnp.int32)
+    meta_f = jnp.stack([nv, stt, nmatch.astype(jnp.int32)], axis=1)
+    meta_f = jnp.pad(meta_f, ((0, 0), (0, 5))).reshape(B, 1, 8)
+    w3 = w4.reshape(B, 1, W)
+    mpos3 = mpos.reshape(B, 1, C)
+    mld3 = mld.reshape(B, 1, C)
+
+    freq = pl.pallas_call(
+        _freq_kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, W), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 320), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, 320), jnp.int32),
+        interpret=interpret,
+    )(meta_f, w3, mpos3, mld3)
+    freq = freq[:, 0]
+    ll_freq = freq[:, :286].at[:, 256].add(1)  # EOB
+    d_freq = freq[:, 288:318]
+
+    # tree build stays XLA: 286+30 symbols per chunk, trivial work.
+    # The barrier is LOAD-BEARING: the Kraft heuristic's float tie-breaks
+    # are fusion-context-dependent on TPU, and without it XLA materializes
+    # TWO divergent recomputations — one feeding the pack kernel's code
+    # tables, one returned for the host header — producing a header that
+    # contradicts the body (chip-debugged in round 3).
+    ll_lens = jax.vmap(dynhuff.code_lengths_kraft)(ll_freq)
+    d_lens = jax.vmap(dynhuff.code_lengths_kraft)(d_freq)
+    ll_lens, d_lens = jax.lax.optimization_barrier((ll_lens, d_lens))
+    ll_codes = jax.vmap(dynhuff.canonical_codes_jax)(ll_lens)
+    d_codes = jax.vmap(dynhuff.canonical_codes_jax)(d_lens)
+    ll_codes, d_codes = jax.lax.optimization_barrier((ll_codes, d_codes))
+    lltab = (ll_codes.astype(jnp.uint32)
+             | (ll_lens.astype(jnp.uint32) << 16)).reshape(B, 1, 286)
+    lltab = jnp.pad(lltab, ((0, 0), (0, 0), (0, 2)))
+    dtab = (d_codes.astype(jnp.uint32)
+            | (d_lens.astype(jnp.uint32) << 16)).reshape(B, 1, 30)
+    dtab = jnp.pad(dtab, ((0, 0), (0, 0), (0, 2)))
+
+    oww = (16 * (L + 32) + 64) // 32 + 8  # same worst case as lz77.pack_bits
+    NS = max(1, n_seeds)
+    out_len = jnp.maximum(nv - stt, 0)
+    stride = jnp.maximum(out_len // max(n_seeds, 1), 1)
+    meta_p = jnp.stack(
+        [nv, stt, nmatch.astype(jnp.int32),
+         jnp.full((B,), n_seeds, jnp.int32), stride], axis=1,
+    )
+    meta_p = jnp.pad(meta_p, ((0, 0), (0, 3))).reshape(B, 1, 8)
+
+    owords, stt_o, sbit, sout, tab_echo = pl.pallas_call(
+        _pack_kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, W), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 288), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 32), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, oww), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, NS), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, NS), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 320), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, oww), jnp.uint32),
+            jax.ShapeDtypeStruct((B, 1, 8), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, NS), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, NS), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 320), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(meta_p, w3, mpos3, mld3, lltab, dtab)
+    total = stt_o[:, 0, 0]
+    bad = stt_o[:, 0, 1] > 0
+    # header lengths come from the ECHOED tables — the ones the bitstream
+    # was actually packed with
+    ll_lens = (tab_echo[:, 0, :286] >> 16).astype(jnp.int32)
+    d_lens = (tab_echo[:, 0, 288:318] >> 16).astype(jnp.int32)
+    if n_seeds:
+        return (owords[:, 0], total, ll_lens, d_lens,
+                sbit[:, 0], sout[:, 0], bad)
+    return owords[:, 0], total, ll_lens, d_lens, bad

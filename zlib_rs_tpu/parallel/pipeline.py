@@ -180,21 +180,44 @@ def _encode_batch(
         valid_from = jnp.zeros_like(n_valid)
     seeds_bit = seeds_out = None
     if dynamic:
-        parse_all = None
         if kernel_scan:
-            # SMEM hash-chain scan kernel (ops/pallas/deflate_kernel.py):
-            # exact chain walks at ~5.3ns/dependent-load instead of the
-            # XLA matcher's HBM gather tax
-            from ..ops.pallas.deflate_kernel import scan_from_bytes
+            # FULL-KERNEL encode (round 3): SMEM hash-chain scan -> compact
+            # match stream -> freq kernel -> XLA Kraft trees (tiny) ->
+            # SMEM pack kernel. The XLA positional stages (scatter
+            # tokenization, compare-reduce freqs, per-token gathers,
+            # segmented-scan packing) measured ~half the encode batch and
+            # are bypassed entirely.
+            from ..ops.pallas.deflate_kernel import (
+                freq_pack_chunks_pallas, scan_chunks_pallas,
+            )
 
-            B = chunks.shape[0]
+            B, L = chunks.shape
+            interp = jax.default_backend() != "tpu"
             starts = jnp.full((B,), dict_size, jnp.int32)
             good, mlazy, nice, chain = kernel_cfg or (8, 16, 128, 128)
-            parse_all = scan_from_bytes(
-                chunks, n_valid, starts, valid_from.astype(jnp.int32),
-                depth=chain, nice=nice, good=good, max_lazy=mlazy,
-                pad=lz77.PAD, interpret=jax.default_backend() != "tpu",
+            bb = chunks.reshape(B, L // 4, 4).astype(jnp.uint32)
+            w4 = (
+                bb[:, :, 0] | (bb[:, :, 1] << 8) | (bb[:, :, 2] << 16)
+                | (bb[:, :, 3] << 24)
             )
+            w4 = jnp.concatenate([w4, jnp.zeros((B, 2), jnp.uint32)], axis=1)
+            mpos, mld, nmatch, kbad = scan_chunks_pallas(
+                w4, n_valid, starts, valid_from.astype(jnp.int32),
+                depth=chain, nice=nice, good=good, max_lazy=mlazy,
+                interpret=interp,
+            )
+            # a bad (match-overflow) lane degrades to an all-literal parse,
+            # the same fallback the positional wrapper applied
+            nm_eff = jnp.where(kbad, 0, nmatch)
+            res = freq_pack_chunks_pallas(
+                chunks, n_valid, starts, mpos, mld, nm_eff,
+                n_seeds=n_seeds, interpret=interp,
+            )
+            if n_seeds:
+                words, bits, ll_lens, d_lens, seeds_bit, seeds_out, _pb = res
+            else:
+                words, bits, ll_lens, d_lens, _pb = res
+            return words, bits, ll_lens, d_lens, seeds_bit, seeds_out
 
         def one(chunk, nv, vf):
             return dynhuff.encode_chunk_dynamic(
@@ -202,15 +225,7 @@ def _encode_batch(
                 lazy=lazy, start=dict_size, valid_from=vf, n_seeds=n_seeds,
             )
 
-        def one_parsed(chunk, nv, t, l, d):
-            return dynhuff.encode_chunk_dynamic(
-                chunk, nv, start=dict_size, n_seeds=n_seeds, parse=(t, l, d),
-            )
-
-        if parse_all is not None:
-            res = jax.vmap(one_parsed)(chunks, n_valid, *parse_all)
-        else:
-            res = jax.vmap(one)(chunks, n_valid, valid_from)
+        res = jax.vmap(one)(chunks, n_valid, valid_from)
         if n_seeds:
             words, bits, ll_lens, d_lens, seeds_bit, seeds_out = res
         else:
@@ -408,7 +423,7 @@ def compress_parallel(
     level: int = 6,
     *,
     window_bits: int = 15,
-    chunk_size: int = DEFAULT_CHUNK,
+    chunk_size: int | None = None,
     mesh: Mesh | None = None,
     return_index: bool = False,
     prime_dict: bool = True,
@@ -418,11 +433,21 @@ def compress_parallel(
     With a mesh, chunks are sharded over its devices; without, the whole
     batch runs on the default device. Output always decodes with stdlib zlib.
 
+    chunk_size=None selects the active engine's default configuration:
+    the SMEM scan-kernel engine (ZRS_TPU_KERNEL=1) runs 32 KiB chunks with
+    a ~31 KiB priming dict — the ONE device configuration whose level-6
+    ratio measures 0.9958x zlib over the bench corpus — while the XLA
+    matcher path keeps 128 KiB chunks.
+
     With return_index=True, also returns the chunk index
     [(body_offset, body_len, out_len), ...] that decompress_parallel uses
     for fully parallel decode (the random-access capability the reference
     exposes via inflateSync/inflateMark, SURVEY.md section 2e).
     """
+    if chunk_size is None:
+        chunk_size = (
+            32 * 1024 if os.environ.get("ZRS_TPU_KERNEL") == "1" else DEFAULT_CHUNK
+        )
     wrap, wbits = decode_window_bits_deflate(window_bits)
     n = len(data)
     n_chunks = max(1, -(-n // chunk_size))
