@@ -54,7 +54,11 @@ def _build_parser() -> argparse.ArgumentParser:
         "-p", "--threads", type=int, default=0,
         help="native engine worker threads (0 = all cores)",
     )
-    p.add_argument("--chunk", type=int, default=128 * 1024, help="TPU chunk size")
+    p.add_argument(
+        "--chunk", type=int, default=None,
+        help="chunk size (default: the active engine's own default — the "
+             "TPU kernel engine runs 32 KiB + priming dict, others 128 KiB)",
+    )
     p.add_argument("--suffix", default=".gz", help="output suffix (default .gz)")
     return p
 
@@ -96,7 +100,8 @@ def _compress(data: bytes, args) -> bytes:
         if not _n.available():
             raise SystemExit("--quick needs the native engine")
         raw = _n.deflate_parallel(
-            data, level=_n.QUICK, chunk_size=args.chunk, nthreads=args.threads
+            data, level=_n.QUICK, chunk_size=args.chunk or 128 * 1024,
+            nthreads=args.threads,
         )
         return _wrap_raw(raw, data, args.format, 1)
     wbits = _wbits_for(args.format, False)
@@ -120,7 +125,8 @@ def _compress(data: bytes, args) -> bytes:
         from . import native
 
         raw = native.deflate_parallel(
-            data, level=level, chunk_size=args.chunk, nthreads=args.threads
+            data, level=level, chunk_size=args.chunk or 128 * 1024,
+            nthreads=args.threads,
         )
         return _wrap_raw(raw, data, args.format, level)
     from .models import oneshot
