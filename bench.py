@@ -297,6 +297,18 @@ class _watchdog:
         return False
 
 
+def _stop_leaked_trace():
+    """Close a profiler session a previous (watchdog-interrupted) phase may
+    have leaked; harmless when none is active."""
+    try:
+        import jax
+
+        jax.profiler.stop_trace()
+        _log("closed a leaked profiler session")
+    except Exception:
+        pass
+
+
 def _device_trace_seconds(dispatch, reps: int, tag: str, timeout_s: int):
     """Ground-truth device seconds per dispatch via a jax.profiler trace.
 
@@ -309,12 +321,19 @@ def _device_trace_seconds(dispatch, reps: int, tag: str, timeout_s: int):
     import jax
 
     trace_dir = f"/tmp/zrs_bench_trace_{tag}_{os.getpid()}"
-    with _watchdog(timeout_s, f"device trace {tag}"):
-        with jax.profiler.trace(trace_dir):
-            out = None
-            for _ in range(reps):
-                out = dispatch()
-            jax.block_until_ready(out)
+    try:
+        with _watchdog(timeout_s, f"device trace {tag}"):
+            with jax.profiler.trace(trace_dir):
+                out = None
+                for _ in range(reps):
+                    out = dispatch()
+                jax.block_until_ready(out)
+    except BaseException:
+        # a wedged tunnel call can blow the watchdog INSIDE the trace
+        # context; make sure the profiler session is closed or every
+        # later phase fails with "Profile has already been started"
+        _stop_leaked_trace()
+        raise
     files = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
     if not files:
         return None, {}
@@ -497,16 +516,23 @@ def _phase_kernel_ratio(data, dev):
         from zlib_rs_tpu.parallel.pipeline import compress_parallel as _cp
 
         with _watchdog(box, "kernel ratio"):
+            t0 = time.monotonic()
             comp = _cp(prefix, level=LEVEL, chunk_size=KCHUNK)
+            wall = time.monotonic() - t0
     finally:
         os.environ.pop("ZRS_TPU_KERNEL", None)
     assert _z.decompress(comp) == prefix
     zref = len(_z.compress(prefix, LEVEL))
     dev["kernel_ratio_vs_zlib"] = round(len(comp) / zref, 4)
     dev["kernel_ratio_bytes"] = nbytes
+    # wall-clock e2e (host batching + device + assembly): compress_parallel
+    # materializes every batch on host, so unlike pure dispatch loops this
+    # wall time is real work — an honest end-to-end LOWER bound
+    dev["kernel_e2e_wall_gbps"] = round(nbytes / wall / 1e9, 5)
     _log(
         f"kernel-path ratio (chip round-trip verified) "
-        f"{dev['kernel_ratio_vs_zlib']} over {nbytes} bytes"
+        f"{dev['kernel_ratio_vs_zlib']} over {nbytes} bytes; "
+        f"e2e wall {dev['kernel_e2e_wall_gbps']} GB/s"
     )
 
 
@@ -614,9 +640,13 @@ def bench_device(data: bytes, seed_pkl: str | None) -> dict:
     dev = {}
     _log("device measurement first (no prior fetch)")
     phases = [
+        # ratio first: it is cheap since the full-kernel encode (round-3
+        # run: 11s wall for 8 MiB), it chip-verifies a full round trip,
+        # and it records an e2e wall lower bound even if later traces
+        # wedge on the tunnel
+        ("kernel_ratio", 180, lambda: _phase_kernel_ratio(data, dev)),
         ("kernel_encode", 180, lambda: _phase_kernel_encode(data, flat, dev)),
         ("pallas_inflate", 150, lambda: _phase_pallas_inflate(data, dev)),
-        ("kernel_ratio", 180, lambda: _phase_kernel_ratio(data, dev)),
         ("foreign_kernel", 240, lambda: _phase_foreign_kernel(data, dev)),
         ("swarm", 150, lambda: _phase_swarm(seed_pkl, dev)),
         # a blocked tunnel call can outlive SIGALRM watchdogs (round-3
@@ -634,6 +664,7 @@ def bench_device(data: bytes, seed_pkl: str | None) -> dict:
         if remaining() < need:
             _log(f"{name} skipped: {remaining():.0f}s left < {need}s needed")
             continue
+        _stop_leaked_trace()
         try:
             with _phase(f"device:{name}"):
                 fn()
@@ -726,11 +757,18 @@ def main():
         if cpu:
             base6 = cpu["compress"][str(LEVEL)]["gbps"]
         # headline: the best trace-measured device encode engine (the SMEM
-        # scan kernel when it compiled, else the XLA matcher path)
+        # scan kernel when it compiled, else the XLA matcher path); when
+        # every trace wedged on the tunnel, fall back to the kernel-ratio
+        # phase's e2e wall rate — real work (per-batch host materialization
+        # + verified round trip), just host-inclusive
         headline = max(
             device.get("encode_trace_gbps") or 0.0,
             device.get("kernel_encode_trace_gbps") or 0.0,
         )
+        headline_src = "device trace"
+        if not headline and device.get("kernel_e2e_wall_gbps"):
+            headline = device["kernel_e2e_wall_gbps"]
+            headline_src = "e2e wall incl host (device traces wedged this run)"
         if not device:
             _log(
                 "DEVICE UNREACHABLE for this entire run (tunnel outage): the "
@@ -740,6 +778,7 @@ def main():
         result.update(
             {
                 "value": round(headline, 5),
+                "value_source": headline_src,
                 "vs_baseline": round(headline / base6, 4) if base6 else None,
                 "ratio_vs_zlib": (
                     device.get("kernel_ratio_vs_zlib")
