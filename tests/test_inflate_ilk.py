@@ -74,19 +74,22 @@ def test_mixed_payloads_byte_exact():
 def test_multi_block_stream():
     # big enough that zlib emits several dynamic blocks in one stream
     rng = np.random.default_rng(3)
-    pieces = [TEXT, rng.integers(0, 64, 40000, dtype=np.uint8).tobytes(), b"z" * 30000]
-    data = b"".join(pieces)[:100000]
+    pieces = [TEXT[:20000], rng.integers(0, 64, 20000, dtype=np.uint8).tobytes(),
+              b"z" * 15000]
+    data = b"".join(pieces)[:50000]
     body = _deflate(data, 6)
-    out, produced, bad, _ = _run([body], [len(data)], 131072, k=4)
+    out, produced, bad, _ = _run([body], [len(data)], 65536, k=4)
     assert not bad[0]
     assert out[0, : len(data)].tobytes() == data
 
 
 def test_k_grouping_variants():
-    datas = [TEXT[: 1000 + 517 * i] for i in range(8)]
+    # K=8 fails to COMPILE on chip (register pressure) and this kernel is a
+    # preserved negative result — keep the interpret matrix lean
+    datas = [TEXT[: 600 + 317 * i] for i in range(4)]
     bodies = [_deflate(d) for d in datas]
-    for k in (2, 4, 8):
-        out, produced, bad, _ = _run(bodies, [len(d) for d in datas], 8192, k=k)
+    for k in (2, 4):
+        out, produced, bad, _ = _run(bodies, [len(d) for d in datas], 4096, k=k)
         for i, d in enumerate(datas):
             assert not bad[i]
             assert out[i, : len(d)].tobytes() == d
