@@ -1,0 +1,576 @@
+"""Lane-parallel vectorized Huffman token decoder (the "vector" engine).
+
+Round-3 discovery (experiments/probe_vgather*.py, probe_fifo.py): Mosaic
+DOES have a per-lane dynamic table lookup — `jnp.take_along_axis` on
+(8, 128) blocks lowers to a lane gather issuing at a few ns per 1024-lane
+lookup — and a (K, 8, 128) masked-reduce (word select from per-walker
+input FIFOs) costs ~270ns per 1024 lanes nearly independent of K. That
+overturns the round-3 ARCHITECTURE.md conclusion that canonical Huffman's
+code->symbol permutation can't vectorize: it can, via the canonical
+COMPARE CASCADE + a per-length packed (offset, base) lookup + a 3x128
+work[] table gather.
+
+Architecture (TPU realization of the reference's inflate_fast hot loop,
+/root/reference/zlib-rs/src/inflate.rs:1885-2163, re-designed for the
+VPU instead of translated):
+
+  * 1024 walkers per grid step live in (8, 128) vector registers — one
+    walker per lane. Walkers are the encoder-recorded swarm seeds
+    (bit offset + output span), 128 per chunk, so each (8,128) ROW's
+    walkers share one chunk's Huffman tables: `take_along_axis` row
+    semantics give per-chunk tables for free.
+  * Each step decodes ONE code per walker, split into a litlen phase and
+    a dist phase (a match costs two steps) so per-step bit consumption
+    is <= 28 bits and ONE 32-bit FIFO refill per step maintains the
+    window invariant (bitcnt >= 32 at decode).
+  * The 64-bit LSB-first bit window is two u32 registers; the canonical
+    MSB-first 15-bit peek is a 13-op butterfly bit-reversal.
+  * code length = 1 + sum over l of (v15 >= LIM15[l]) — 15 static-column
+    compares (LIM15[l] = (first_code[l]+count[l]) << (15-l) is monotone
+    in l, so the sum IS the argmin).
+  * symbol = work[OFF[len] + (v15 - BASE15[len]) >> (15-len)]: one
+    (8,128) lane-gather for the packed OFF/BASE15, then a 384-entry
+    work[] lookup as 3 lane-gathers + selects. Work entries pack
+    (kind, extra_bits, payload) so length/dist bases need no second
+    lookup.
+  * tokens land in a (cap, 8, 128) tape, one uniform row store per step;
+    LZ expansion happens OUTSIDE the kernel in the existing
+    pointer-doubling resolver (parallel/device_inflate.resolve_tokens,
+    measured 10.5 GB/s — experiments/bench_resolve.py).
+
+Exactness is checked exactly like the swarm engine: every walker must
+drain its span and land on the next seed's bit offset; any drift or
+invalid code flags the lane and the caller falls back to an exact engine.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+from ...parallel.device_inflate import (
+    KIND_EOB,
+    KIND_INVALID,
+    KIND_LIT,
+    KIND_MATCH,
+    _DBASE,
+    _DEXTRA,
+    _LBASE,
+    _LEXTRA,
+)
+
+# token kinds in the packed tape (2 bits); mirrors device_inflate TOK_*
+VTOK_NULL = 0
+VTOK_LIT = 1
+VTOK_MATCH = 2
+
+WALKERS_PER_STEP = 1024  # 8 sublanes x 128 lanes
+
+
+# ---------------------------------------------------------------------------
+# host-side table construction (numpy; O(320) per chunk)
+# ---------------------------------------------------------------------------
+
+def _work_entry(kind, extra, payload):
+    return (int(kind) << 28) | (int(extra) << 20) | int(payload)
+
+
+_INVALID_ENTRY = _work_entry(KIND_INVALID, 0, 0)
+
+
+def _cascade_np(lens: np.ndarray, entries: np.ndarray, work_size: int):
+    """Canonical cascade tables for one alphabet.
+
+    lens: int[n] code lengths (0 = absent); entries: uint32[n] packed
+    (kind, extra, payload) per symbol. Returns (lim15[16], pack[16],
+    work[work_size]) as int64 numpy (values fit int32).
+    """
+    n = len(lens)
+    counts = np.bincount(lens, minlength=16)[:16]
+    counts[0] = 0
+    first = np.zeros(16, np.int64)
+    code = 0
+    for l in range(2, 16):
+        code = (code + counts[l - 1]) << 1
+        first[l] = code
+    lim15 = np.zeros(16, np.int64)
+    base15 = np.zeros(16, np.int64)
+    off = np.zeros(16, np.int64)
+    acc = 0
+    for l in range(1, 16):
+        base15[l] = first[l] << (15 - l)
+        lim15[l] = (first[l] + counts[l]) << (15 - l)
+        off[l] = acc
+        acc += counts[l]
+    pack = (off << 16) | base15
+    work = np.full(work_size, _INVALID_ENTRY, np.int64)
+    nxt = off.copy()
+    for sym in range(n):
+        l = lens[sym]
+        if l > 0:
+            work[nxt[l]] = entries[sym]
+            nxt[l] += 1
+    return lim15, pack, work
+
+
+_LL_ENTRIES = np.zeros(320, np.int64)
+for _s in range(320):
+    if _s < 256:
+        _LL_ENTRIES[_s] = _work_entry(KIND_LIT, 0, _s)
+    elif _s == 256:
+        _LL_ENTRIES[_s] = _work_entry(KIND_EOB, 0, 0)
+    elif _s < 286:
+        _LL_ENTRIES[_s] = _work_entry(
+            KIND_MATCH, _LEXTRA[_s - 257], _LBASE[_s - 257]
+        )
+    else:
+        _LL_ENTRIES[_s] = _INVALID_ENTRY
+
+_D_ENTRIES = np.zeros(320, np.int64)
+for _s in range(320):
+    if _s < 30:
+        _D_ENTRIES[_s] = _work_entry(KIND_MATCH, _DEXTRA[_s], _DBASE[_s])
+    else:
+        _D_ENTRIES[_s] = _INVALID_ENTRY
+
+
+def build_cascade_tables_np(ll_lens: np.ndarray, d_lens: np.ndarray):
+    """Per-chunk decode tables for the vector kernel.
+
+    Returns (ll_lim15[16], ll_pack[16], ll_work[384], d_lim15[16],
+    d_pack[16], d_work[128]) int32 numpy arrays.
+    """
+    ll_lim, ll_pack, ll_work = _cascade_np(
+        np.asarray(ll_lens[:288], np.int64), _LL_ENTRIES[:288], 384
+    )
+    d_lim, d_pack, d_work = _cascade_np(
+        np.asarray(d_lens[:30], np.int64), _D_ENTRIES[:30], 128
+    )
+    return (
+        ll_lim.astype(np.int32), ll_pack.astype(np.int32),
+        ll_work.astype(np.int32), d_lim.astype(np.int32),
+        d_pack.astype(np.int32), d_work.astype(np.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _rev15(x):
+    """MSB-first value of a 15-bit LSB-first peek (butterfly reversal)."""
+    x = ((x >> 1) & jnp.uint32(0x5555)) | ((x & jnp.uint32(0x5555)) << 1)
+    x = ((x >> 2) & jnp.uint32(0x3333)) | ((x & jnp.uint32(0x3333)) << 2)
+    x = ((x >> 4) & jnp.uint32(0x0F0F)) | ((x & jnp.uint32(0x0F0F)) << 4)
+    x = ((x >> 8) & jnp.uint32(0x00FF)) | ((x & jnp.uint32(0x00FF)) << 8)
+    return x >> 1
+
+
+def _lane_gather(table, idx):
+    """out[i,j] = table[i, idx[i,j]] — the Mosaic per-lane dynamic gather."""
+    return jnp.take_along_axis(table, idx, axis=1)
+
+
+def _work_lookup(w0, w1, w2, idx):
+    """384-entry per-row work[] lookup: 3 lane-gathers + selects."""
+    i0 = jnp.clip(idx, 0, 127)
+    i1 = jnp.clip(idx - 128, 0, 127)
+    i2 = jnp.clip(idx - 256, 0, 127)
+    g0 = _lane_gather(w0, i0)
+    g1 = _lane_gather(w1, i1)
+    g2 = _lane_gather(w2, i2)
+    return jnp.where(idx < 128, g0, jnp.where(idx < 256, g1, g2))
+
+
+def _broadcast_cols(lim15):
+    """Hoist the loop-invariant LIM15 column broadcasts out of the decode
+    loop (a lane-broadcast relayout per column per step is the single
+    largest per-step cost otherwise)."""
+    return [
+        lax.broadcast_in_dim(lim15[:, l], (8, 128), (0,)) for l in range(1, 15)
+    ]
+
+
+def _cascade_len(lim_cols, v15i):
+    """Code length = 1 + #(v15 >= LIM15[l]) over l=1..14 (static columns)."""
+    ln = jnp.ones_like(v15i)
+    for col in lim_cols:
+        ln = ln + (v15i >= col).astype(jnp.int32)
+    return ln
+
+
+def _make_kernel(cap: int, K: int):
+    u32 = jnp.uint32
+    import os
+
+    # timing-ablation hook (experiments/bench_vhuff_synth.py): comma-set of
+    # {refill,cascade,gathers,store,any} to neuter — results become garbage,
+    # the per-step cost attribution is the point
+    ablate = frozenset(
+        x for x in os.environ.get("ZRS_VHUFF_ABLATE", "").split(",") if x
+    )
+
+    def kernel(
+        fifo_ref, ll_lim_ref, ll_pack_ref, w0_ref, w1_ref, w2_ref,
+        d_lim_ref, d_pack_ref, dw_ref, align_ref, span_ref,
+        tape_ref, cons_ref, bad_ref, rem_ref,
+    ):
+        fifo = fifo_ref[:]          # (K, 8, 128) int32 (u32 bit patterns)
+        ll_lim = ll_lim_ref[:]      # (8, 128); cols 1..15 used
+        ll_pack = ll_pack_ref[:]
+        w0 = w0_ref[:]
+        w1 = w1_ref[:]
+        w2 = w2_ref[:]
+        d_lim = d_lim_ref[:]
+        d_pack = d_pack_ref[:]
+        dw = dw_ref[:]
+        align = align_ref[:]        # (8, 128) int32: seed bit & 31
+        span = span_ref[:]          # (8, 128) int32: output bytes to cover
+
+        kio = lax.broadcasted_iota(jnp.int32, (K, 8, 128), 0)
+        ll_cols = _broadcast_cols(ll_lim)
+        d_cols = _broadcast_cols(d_lim)
+
+        def fetch(widx):
+            sel = jnp.where(kio == widx[None], fifo, 0)
+            return jnp.sum(sel, axis=0).astype(u32)
+
+        def refill(lo, hi, bitcnt, widx, need):
+            word = fetch(widx)
+            sh_lo = jnp.minimum(bitcnt, 31).astype(u32)
+            add_lo = jnp.where(bitcnt < 32, word << sh_lo, u32(0))
+            sh_hi = (32 - jnp.minimum(bitcnt, 32)).astype(u32)
+            add_hi = jnp.where(bitcnt > 0, word >> sh_hi, u32(0))
+            lo = jnp.where(need, lo | add_lo, lo)
+            hi = jnp.where(need, hi | add_hi, hi)
+            bitcnt = jnp.where(need, bitcnt + 32, bitcnt)
+            widx = jnp.where(need, jnp.minimum(widx + 1, K - 1), widx)
+            return lo, hi, bitcnt, widx
+
+        def consume(lo, hi, bitcnt, n):
+            nu = n.astype(u32)
+            inv = (31 - jnp.minimum(n, 31)).astype(u32)
+            # (hi << (32-n)) spelled ((hi << 1) << (31-n)) so n=0 is safe
+            lo = (lo >> nu) | ((hi << 1) << inv)
+            hi = hi >> nu
+            return lo, hi, bitcnt - n
+
+        zero = jnp.zeros((8, 128), jnp.int32)
+        lo0 = jnp.zeros((8, 128), u32)
+        hi0 = jnp.zeros((8, 128), u32)
+        live0 = span > 0
+        bc0 = zero
+        wi0 = zero
+        if "noinit" not in ablate:
+            # two initial refills, then drop the sub-word seed alignment
+            lo0, hi0, bc0, wi0 = refill(lo0, hi0, zero, zero, live0)
+            lo0, hi0, bc0, wi0 = refill(lo0, hi0, bc0, wi0, live0)
+            al = jnp.where(live0, align, 0)
+            lo0, hi0, bc0 = consume(lo0, hi0, bc0, al)
+
+        def body(carry):
+            (it, _alive, lo, hi, bitcnt, widx, pend, remaining, cons, badi) = carry
+            if "decode" in ablate:  # minimal body: loop machinery only
+                return (
+                    it + 1, jnp.int32(1), lo + u32(1), hi, bitcnt + 1, widx,
+                    pend, remaining - 1, cons, badi,
+                )
+            # bool vectors don't legalize in Mosaic while-carries; badi is i32
+            bad = badi != 0
+            active = (remaining > 0) & ~bad
+            if "refill" not in ablate:
+                lo, hi, bitcnt, widx = refill(
+                    lo, hi, bitcnt, widx, active & (bitcnt <= 32)
+                )
+
+            v15 = _rev15(lo & u32(0x7FFF))
+            v15i = v15.astype(jnp.int32)
+            in_len = pend == 0
+
+            # litlen path
+            if "cascade" in ablate:
+                lnl = jnp.full_like(v15i, 8)
+                lnd = jnp.full_like(v15i, 5)
+            else:
+                lnl = _cascade_len(ll_cols, v15i)
+                lnd = _cascade_len(d_cols, v15i)
+            if "gathers" in ablate:
+                el = v15i
+                ed = v15i
+            else:
+                pkl = _lane_gather(ll_pack, lnl)
+                idxl = (pkl >> 16) + lax.shift_right_logical(
+                    v15i - (pkl & 0xFFFF), 15 - lnl
+                )
+                el = _work_lookup(w0, w1, w2, jnp.clip(idxl, 0, 383))
+                pkd = _lane_gather(d_pack, lnd)
+                idxd = (pkd >> 16) + lax.shift_right_logical(
+                    v15i - (pkd & 0xFFFF), 15 - lnd
+                )
+                ed = _lane_gather(dw, jnp.clip(idxd, 0, 127))
+
+            e = jnp.where(in_len, el, ed)
+            codelen = jnp.where(in_len, lnl, lnd)
+            kind = e >> 28
+            extra_n = (e >> 20) & 0xF
+            payload = e & 0xFFFFF
+            mask = (u32(1) << extra_n.astype(u32)) - u32(1)
+            extra_v = ((lo >> codelen.astype(u32)) & mask).astype(jnp.int32)
+            value = payload + extra_v
+            adv = codelen + extra_n
+
+            is_lit = in_len & (kind == KIND_LIT)
+            is_lensym = in_len & (kind == KIND_MATCH)
+            is_dist = ~in_len & (kind == KIND_MATCH)
+            bad_now = active & (
+                (kind == KIND_INVALID) | (kind == KIND_EOB)
+            )
+            cover = jnp.where(is_lit, 1, jnp.where(is_dist, pend, 0))
+            bad_now = bad_now | (active & (cover > remaining))
+
+            step = active & ~bad_now
+            emit = step & (is_lit | is_dist)
+            tkind = jnp.where(
+                emit & is_lit,
+                VTOK_LIT,
+                jnp.where(emit & is_dist, VTOK_MATCH, VTOK_NULL),
+            ).astype(u32)
+            tval = jnp.where(is_lit, payload, value).astype(u32) & u32(0xFFFF)
+            tcov = jnp.where(emit, cover, 0).astype(u32) & u32(0x3FFF)
+            packed = (tkind << 30) | (tcov << 16) | jnp.where(emit, tval, u32(0))
+            if "store" not in ablate:
+                tape_ref[pl.ds(it, 1)] = packed[None]
+
+            n = jnp.where(step, adv, 0)
+            lo, hi, bitcnt = consume(lo, hi, bitcnt, n)
+            cons = cons + n
+            pend = jnp.where(
+                step & is_lensym, value, jnp.where(step & is_dist, 0, pend)
+            )
+            remaining = remaining - jnp.where(emit, cover, 0)
+            badi = badi | bad_now.astype(jnp.int32)
+            if "any" in ablate:
+                alive = jnp.int32(1)
+            else:
+                alive = jnp.any((remaining > 0) & (badi == 0)).astype(jnp.int32)
+            return (it + 1, alive, lo, hi, bitcnt, widx, pend, remaining, cons, badi)
+
+        def cond(carry):
+            it, alive = carry[0], carry[1]
+            return (it < cap) & (alive != 0)
+
+        init = (
+            jnp.int32(0), jnp.any(live0).astype(jnp.int32), lo0, hi0, bc0,
+            wi0, zero, jnp.where(live0, span, 0), zero,
+            jnp.zeros((8, 128), jnp.int32),
+        )
+        (it, _alive, _lo, _hi, _bc, _wi, pend, remaining, cons, badi) = (
+            lax.while_loop(cond, body, init)
+        )
+
+        # zero the tape rows the loop never reached
+        if "noclear" not in ablate:
+            def clear(i, _):
+                tape_ref[pl.ds(i, 1)] = jnp.zeros((1, 8, 128), u32)
+                return 0
+
+            lax.fori_loop(it, cap, clear, 0)
+
+        cons_ref[:] = cons
+        bad_ref[:] = badi | ((pend != 0) & live0).astype(jnp.int32)
+        rem_ref[:] = remaining
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# token expansion: scalar in-SMEM LZ writer (replaces the XLA pointer-
+# doubling resolver, whose full-space gathers measured ~6 MB/s at real
+# shapes — the gather tax, not a constant-factor issue)
+# ---------------------------------------------------------------------------
+
+def _make_expand_kernel(S_BLK: int, capw: int, OW: int):
+    """Expand packed token tapes into chunk bytes.
+
+    Grid (B, S // S_BLK): each inner step walks S_BLK walkers' tapes and
+    writes their output spans into the chunk's SMEM word buffer, which
+    stays resident across inner steps (matches may reference any earlier
+    byte of the same chunk — chunks are independent, so there is no
+    cross-chunk window). Word-RMW byte stores and the dist<4 overlap
+    handling follow ops/pallas/inflate_kernel.py's writer (itself the TPU
+    re-design of the reference's Writer::copy_match,
+    /root/reference/zlib-rs/src/inflate/writer.rs:106+).
+    """
+    u32 = jnp.uint32
+
+    def kernel(tape_ref, offs_ref, out_ref):
+        w_blk = pl.program_id(1)
+
+        def byte_read(p):
+            wd = out_ref[0, 0, p >> 2]
+            return (wd >> ((p & 3).astype(u32) * 8)) & u32(0xFF)
+
+        def byte_write(p, b):
+            wi = p >> 2
+            sh = ((p & 3).astype(u32)) * 8
+            wd = out_ref[0, 0, wi]
+            out_ref[0, 0, wi] = (wd & ~(u32(0xFF) << sh)) | ((b & u32(0xFF)) << sh)
+
+        def src4(p, dist):
+            # 4 bytes at p-dist (dist >= 4 so no overlap with word at p)
+            sp = p - dist
+            swi = sp >> 2
+            sh = ((sp & 3).astype(u32)) * 8
+            w0 = out_ref[0, 0, swi]
+            w1 = out_ref[0, 0, swi + 1]
+            return jnp.where(sh > 0, (w0 >> sh) | (w1 << (u32(32) - sh)), w0)
+
+        def copy_match(p, length, dist):
+            # head: byte-copy until the write cursor is word-aligned AND
+            # the effective distance can be >= 4 (pattern periodicity: a
+            # distance that is a multiple of dist is equivalent once that
+            # many bytes exist)
+            d4 = jnp.where(dist >= 4, dist, dist * ((4 + dist - 1) // dist))
+            base = jnp.maximum(d4 - dist, 0)
+            head = base + ((-(p + base)) & 3)   # word-aligns p+head
+            head = jnp.minimum(head, length)
+
+            def hb(i, _):
+                byte_write(p + i, byte_read(p + i - dist))
+                return 0
+
+            lax.fori_loop(0, head, hb, 0)
+            body_len = length - head
+            pw = p + head  # word-aligned when head covered (4-(p&3))&3
+            nwords = body_len >> 2
+
+            def wf(k, _):
+                out_ref[0, 0, (pw >> 2) + k] = src4(pw + k * 4, d4)
+                return 0
+
+            lax.fori_loop(0, nwords, wf, 0)
+
+            def tb(i, _):
+                q = pw + (nwords << 2) + i
+                byte_write(q, byte_read(q - d4))
+                return 0
+
+            lax.fori_loop(0, body_len - (nwords << 2), tb, 0)
+
+        def walker(k, _):
+            s = w_blk * S_BLK + k
+            p0 = offs_ref[0, 0, s]
+            p1 = offs_ref[0, 0, s + 1]
+
+            def cond(st):
+                t, p = st
+                return (t < capw) & (p < p1)
+
+            def step(st):
+                t, p = st
+                tok = tape_ref[0, k, t]
+                kind = (tok >> 30).astype(jnp.int32)
+
+                def do_lit(p):
+                    byte_write(p, tok)
+                    return p + 1
+
+                def do_match(p):
+                    cover = ((tok >> 16) & u32(0x3FFF)).astype(jnp.int32)
+                    dist = (tok & u32(0xFFFF)).astype(jnp.int32)
+                    copy_match(p, cover, dist)
+                    return p + cover
+
+                p = lax.cond(
+                    kind == VTOK_LIT,
+                    do_lit,
+                    lambda p: lax.cond(kind == VTOK_MATCH, do_match, lambda q: q, p),
+                    p,
+                )
+                return (t + 1, p)
+
+            lax.while_loop(cond, step, (jnp.int32(0), p0))
+            return 0
+
+        lax.fori_loop(0, S_BLK, walker, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("S", "cap", "out_words", "interpret"))
+def expand_tokens_pallas(tape, offs, *, S: int, cap: int, out_words: int,
+                         interpret: bool = False):
+    """tape: uint32[B, S, cap] packed tokens in walker-major order;
+    offs: int32[B, S+8] output byte offsets per walker (offs[S] = chunk
+    output length). Returns uint32[B, out_words] LE32-packed chunk bytes.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = tape.shape[0]
+    S_BLK = 8
+    grid = (B, S // S_BLK)
+    offs3 = offs.reshape(B, 1, offs.shape[1])
+    return pl.pallas_call(
+        _make_expand_kernel(S_BLK, cap, out_words),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, S_BLK, cap), lambda c, w: (c, w, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, offs.shape[1]), lambda c, w: (c, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, out_words), lambda c, w: (c, 0, 0), memory_space=pltpu.SMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 1, out_words), jnp.uint32),
+        interpret=interpret,
+    )(tape, offs3).reshape(B, out_words)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "K", "interpret"))
+def decode_tokens_vector(
+    fifo, ll_lim, ll_pack, w0, w1, w2, d_lim, d_pack, dw, align, span,
+    *, cap: int, K: int, interpret: bool = False,
+):
+    """Run the vector token decoder.
+
+    fifo: int32[G, K, 8, 128] per-walker input words (little-endian u32 of
+    the chunk body, starting at the seed's word). Tables: int32[G, 8, 128]
+    per row (all walkers in a row share a chunk). align/span: int32[G,8,128].
+    Returns (tape uint32[G, cap, 8, 128], cons int32[G,8,128],
+    bad int32[G,8,128], rem int32[G,8,128]).
+    """
+    G = fifo.shape[0]
+    grid = (G,)
+    t_spec = pl.BlockSpec((None, 8, 128), lambda g: (g, 0, 0))
+    out = pl.pallas_call(
+        _make_kernel(cap, K),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, K, 8, 128), lambda g: (g, 0, 0, 0)),
+            t_spec, t_spec, t_spec, t_spec, t_spec,
+            t_spec, t_spec, t_spec, t_spec, t_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((None, cap, 8, 128), lambda g: (g, 0, 0, 0)),
+            t_spec, t_spec, t_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, cap, 8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(fifo, ll_lim, ll_pack, w0, w1, w2, d_lim, d_pack, dw, align, span)
+    return tuple(out)

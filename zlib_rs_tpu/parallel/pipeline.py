@@ -654,7 +654,27 @@ def decompress_parallel(data: bytes, index, engine: str = "auto") -> bytes:
         return oneshot.decompress(data)
     result = None
     seeds = getattr(index, "seeds", None)
-    if engine == "tpu" and os.environ.get("ZRS_TPU_KERNEL") != "0":
+    if (
+        engine == "tpu"
+        and seeds is not None
+        and all(s is not None for s in seeds)
+        and os.environ.get("ZRS_TPU_VECTOR") != "0"
+    ):
+        # fastest device decode: the lane-parallel vector Huffman kernel
+        # (ops/pallas/vhuff_kernel.py) — 1024 seed-walkers per grid step
+        # decode on the VPU, LZ expands in the pointer-doubling resolver.
+        # Any drift/shape failure falls through to the engines below.
+        from . import vector_inflate
+
+        bodies = [data[off : off + ln] for off, ln, _ in index]
+        out_sizes = [out_len for _, _, out_len in index]
+        try:
+            parts = vector_inflate.decode_chunks_vector(bodies, out_sizes, seeds)
+            result = b"".join(parts)
+        except _EXPECTED_DEVICE_ERRORS as e:
+            _note_fallback("vector_decode", e)
+            result = None
+    if result is None and engine == "tpu" and os.environ.get("ZRS_TPU_KERNEL") != "0":
         # default device decode engine: the Pallas sequential-inflate
         # kernel (chip-validated; full RFC 1951 in SMEM, no seeds, no
         # host table builds). Any bad lane falls through to the seeded
