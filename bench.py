@@ -536,6 +536,58 @@ def _phase_kernel_ratio(data, dev):
     )
 
 
+def _phase_vector(seed_pkl, dev):
+    """Lane-parallel vector decode (parallel/vector_inflate + the vhuff
+    Pallas kernels): the headline device decode engine since round 3 —
+    VPU Huffman at ~1 GB/s feeding an in-SMEM scalar expansion. Verified
+    byte-exact against the raw-deflate oracle, then device-trace timed."""
+    import pickle
+    import zlib as _z
+
+    import jax
+
+    from zlib_rs_tpu.parallel import vector_inflate as VI
+
+    blob = pickle.load(open(seed_pkl, "rb"))
+    seeded = [k for k, s in enumerate(blob["seeds"]) if s is not None]
+    bodies = [
+        blob["comp"][blob["index"][k][0] : blob["index"][k][0] + blob["index"][k][1]]
+        for k in seeded
+    ]
+    out_sizes = [blob["index"][k][2] for k in seeded]
+    seeds = [blob["seeds"][k] for k in seeded]
+    if not bodies:
+        _log("vector decode skipped: no seeded chunks")
+        return
+    # tile the batch to a meaningful measurement size (~8 MiB output)
+    tile = max(1, (8 << 20) // max(1, sum(out_sizes)))
+    bodies, out_sizes, seeds = bodies * tile, out_sizes * tile, seeds * tile
+    with _watchdog(min(240, remaining() - 30), "vector exactness"):
+        parts = VI.decode_chunks_vector(bodies, out_sizes, seeds, interpret=False)
+    for part, body, osz in zip(parts, bodies, out_sizes):
+        ref = _z.decompressobj(-15).decompress(body)[:osz]
+        if part != ref:
+            raise ValueError("vector decode mismatch vs raw-deflate oracle")
+    _log("vector decode byte-exact vs oracle")
+    dispatch = VI.make_vector_dispatch(bodies, out_sizes, seeds)
+    with _watchdog(min(120, remaining() - 30), "vector compile"):
+        jax.block_until_ready(dispatch())
+    sec, progs = _device_trace_seconds(
+        dispatch, 5, "vector", min(240, remaining() - 30)
+    )
+    if sec:
+        out_bytes = sum(out_sizes)
+        dev["vector_decode_trace_s"] = round(sec, 4)
+        dev["vector_decode_trace_gbps"] = round(out_bytes / sec / 1e9, 5)
+        dev["vector_decode_chunks"] = len(bodies)
+        for pname, psec in progs.items():
+            if "decode_tokens_vector" in pname:
+                dev["vector_huffman_trace_s"] = round(psec / 5, 4)
+            elif "expand" in pname:
+                dev["vector_expand_trace_s"] = round(psec / 5, 4)
+        _log(f"vector decode device-trace {dev['vector_decode_trace_gbps']} GB/s")
+
+
 def _phase_swarm(seed_pkl, dev):
     """Seed-parallel exact decode of our own indexed stream
     (parallel/swarm_inflate); seeds come from the CPU-pinned child."""
@@ -646,6 +698,7 @@ def bench_device(data: bytes, seed_pkl: str | None) -> dict:
         # wedge on the tunnel
         ("kernel_ratio", 180, lambda: _phase_kernel_ratio(data, dev)),
         ("kernel_encode", 180, lambda: _phase_kernel_encode(data, flat, dev)),
+        ("vector_decode", 200, lambda: _phase_vector(seed_pkl, dev)),
         ("pallas_inflate", 150, lambda: _phase_pallas_inflate(data, dev)),
         ("foreign_kernel", 240, lambda: _phase_foreign_kernel(data, dev)),
         ("swarm", 150, lambda: _phase_swarm(seed_pkl, dev)),
@@ -656,8 +709,8 @@ def bench_device(data: bytes, seed_pkl: str | None) -> dict:
         ("xla_encode", 1200, lambda: _phase_xla_encode(data, flat, dev)),
     ]
     for name, need, fn in phases:
-        if name == "swarm" and seed_pkl is None:
-            _log("swarm skipped: no seed pickle")
+        if name in ("swarm", "vector_decode") and seed_pkl is None:
+            _log(f"{name} skipped: no seed pickle")
             continue
         if name == "xla_encode" and dev.get("kernel_encode_trace_gbps") is None:
             need = 500  # fallback encode number is worth a tighter squeeze

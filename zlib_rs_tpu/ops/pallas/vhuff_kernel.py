@@ -65,7 +65,9 @@ from ...parallel.device_inflate import (
     _LEXTRA,
 )
 
-# token kinds in the packed tape (2 bits); mirrors device_inflate TOK_*
+# token kinds in the packed tape (2 bits)
+# LIT3: bits[25:24] = byte count 1..3, bits[23:0] = packed literal bytes
+# MATCH: bits[24:16] = length - 3 (0..255), bits[15:0] = distance
 VTOK_NULL = 0
 VTOK_LIT = 1
 VTOK_MATCH = 2
@@ -210,8 +212,8 @@ def _make_kernel(cap: int, K: int):
     import os
 
     # timing-ablation hook (experiments/bench_vhuff_synth.py): comma-set of
-    # {refill,cascade,gathers,store,any} to neuter — results become garbage,
-    # the per-step cost attribution is the point
+    # {decode,refill,store,any} to neuter — results become garbage, the
+    # per-step cost attribution is the point
     ablate = frozenset(
         x for x in os.environ.get("ZRS_VHUFF_ABLATE", "").split(",") if x
     )
@@ -241,149 +243,206 @@ def _make_kernel(cap: int, K: int):
             sel = jnp.where(kio == widx[None], fifo, 0)
             return jnp.sum(sel, axis=0).astype(u32)
 
-        def refill(lo, hi, bitcnt, widx, need):
+        def refill(win, widx, active):
+            """96-bit window (lo, mid, hi) + bitcnt: insert one 32-bit word
+            for lanes with bitcnt <= 64; call twice to restore the >= 65
+            invariant (every per-step peek then has enough bits, so no
+            bit-starvation gates exist anywhere in the decode)."""
+            lo, mid, hi, bitcnt = win
+            need = active & (bitcnt <= 64)
             word = fetch(widx)
-            sh_lo = jnp.minimum(bitcnt, 31).astype(u32)
-            add_lo = jnp.where(bitcnt < 32, word << sh_lo, u32(0))
-            sh_hi = (32 - jnp.minimum(bitcnt, 32)).astype(u32)
-            add_hi = jnp.where(bitcnt > 0, word >> sh_hi, u32(0))
-            lo = jnp.where(need, lo | add_lo, lo)
-            hi = jnp.where(need, hi | add_hi, hi)
+
+            def ins(reg, base):
+                # place word at bit offset (bitcnt - base) within this reg
+                off = bitcnt - base
+                lo_sh = jnp.clip(off, 0, 31).astype(u32)
+                contrib = jnp.where(
+                    (off >= 0) & (off < 32), word << lo_sh, u32(0)
+                )
+                hi_sh = jnp.clip(base + 32 - bitcnt, 1, 32)
+                contrib = contrib | jnp.where(
+                    (off < 0) & (off > -32),
+                    (word >> 1) >> (hi_sh - 1).astype(u32),
+                    u32(0),
+                )
+                return jnp.where(need, reg | contrib, reg)
+
+            lo = ins(lo, 0)
+            mid = ins(mid, 32)
+            hi = ins(hi, 64)
             bitcnt = jnp.where(need, bitcnt + 32, bitcnt)
             widx = jnp.where(need, jnp.minimum(widx + 1, K - 1), widx)
-            return lo, hi, bitcnt, widx
+            return (lo, mid, hi, bitcnt), widx
 
-        def consume(lo, hi, bitcnt, n):
+        def peek(win, s):
+            """32-bit view of the window starting at bit s (s <= 63)."""
+            lo, mid, hi, _ = win
+            s1 = jnp.minimum(s, 31).astype(u32)
+            a = (lo >> s1) | jnp.where(s > 0, (mid << 1) << (31 - s1), u32(0))
+            s2 = jnp.clip(s - 32, 0, 31).astype(u32)
+            b = (mid >> s2) | jnp.where(s > 32, (hi << 1) << (31 - s2), u32(0))
+            b = jnp.where(s == 32, mid, b)
+            return jnp.where(s < 32, a, b)
+
+        def consume(win, n):
+            lo, mid, hi, bitcnt = win
             nu = n.astype(u32)
             inv = (31 - jnp.minimum(n, 31)).astype(u32)
-            # (hi << (32-n)) spelled ((hi << 1) << (31-n)) so n=0 is safe
-            lo = (lo >> nu) | ((hi << 1) << inv)
+            lo = (lo >> nu) | ((mid << 1) << inv)
+            mid = (mid >> nu) | ((hi << 1) << inv)
             hi = hi >> nu
-            return lo, hi, bitcnt - n
+            return (lo, mid, hi, bitcnt - n)
+
+        def litlen_at(win, s):
+            """Decode one litlen code at window offset s: returns
+            (entry, codelen)."""
+            v15i = _rev15(peek(win, s) & u32(0x7FFF)).astype(jnp.int32)
+            ln = _cascade_len(ll_cols, v15i)
+            pk = _lane_gather(ll_pack, ln)
+            idx = (pk >> 16) + lax.shift_right_logical(
+                v15i - (pk & 0xFFFF), 15 - ln
+            )
+            e = _work_lookup(w0, w1, w2, jnp.clip(idx, 0, 383))
+            return e, ln
+
+        def dist_at(win, s):
+            v15i = _rev15(peek(win, s) & u32(0x7FFF)).astype(jnp.int32)
+            ln = _cascade_len(d_cols, v15i)
+            pk = _lane_gather(d_pack, ln)
+            idx = (pk >> 16) + lax.shift_right_logical(
+                v15i - (pk & 0xFFFF), 15 - ln
+            )
+            e = _lane_gather(dw, jnp.clip(idx, 0, 127))
+            return e, ln
 
         zero = jnp.zeros((8, 128), jnp.int32)
-        lo0 = jnp.zeros((8, 128), u32)
-        hi0 = jnp.zeros((8, 128), u32)
+        zu = jnp.zeros((8, 128), u32)
         live0 = span > 0
-        bc0 = zero
+        win0 = (zu, zu, zu, zero)
         wi0 = zero
-        if "noinit" not in ablate:
-            # two initial refills, then drop the sub-word seed alignment
-            lo0, hi0, bc0, wi0 = refill(lo0, hi0, zero, zero, live0)
-            lo0, hi0, bc0, wi0 = refill(lo0, hi0, bc0, wi0, live0)
-            al = jnp.where(live0, align, 0)
-            lo0, hi0, bc0 = consume(lo0, hi0, bc0, al)
+        # three initial refills, then drop the sub-word seed alignment
+        win0, wi0 = refill(win0, wi0, live0)
+        win0, wi0 = refill(win0, wi0, live0)
+        win0, wi0 = refill(win0, wi0, live0)
+        win0 = consume(win0, jnp.where(live0, align, 0))
 
         def body(carry):
-            (it, _alive, lo, hi, bitcnt, widx, pend, remaining, cons, badi) = carry
-            if "decode" in ablate:  # minimal body: loop machinery only
-                return (
-                    it + 1, jnp.int32(1), lo + u32(1), hi, bitcnt + 1, widx,
-                    pend, remaining - 1, cons, badi,
-                )
-            # bool vectors don't legalize in Mosaic while-carries; badi is i32
+            (it, _alive, lo, mid, hi, bitcnt, widx, remaining, cons, badi) = carry
+            win = (lo, mid, hi, bitcnt)
             bad = badi != 0
             active = (remaining > 0) & ~bad
             if "refill" not in ablate:
-                lo, hi, bitcnt, widx = refill(
-                    lo, hi, bitcnt, widx, active & (bitcnt <= 32)
-                )
+                win, widx = refill(win, widx, active)
+                win, widx = refill(win, widx, active)
 
-            v15 = _rev15(lo & u32(0x7FFF))
-            v15i = v15.astype(jnp.int32)
-            in_len = pend == 0
+            if "decode" in ablate:  # minimal body: loop machinery only
+                lo, mid, hi, bitcnt = win
+                return (it + 1, jnp.int32(1), lo, mid, hi, bitcnt, widx,
+                        remaining - 1, cons, badi)
 
-            # litlen path
-            if "cascade" in ablate:
-                lnl = jnp.full_like(v15i, 8)
-                lnd = jnp.full_like(v15i, 5)
-            else:
-                lnl = _cascade_len(ll_cols, v15i)
-                lnd = _cascade_len(d_cols, v15i)
-            if "gathers" in ablate:
-                el = v15i
-                ed = v15i
-            else:
-                pkl = _lane_gather(ll_pack, lnl)
-                idxl = (pkl >> 16) + lax.shift_right_logical(
-                    v15i - (pkl & 0xFFFF), 15 - lnl
-                )
-                el = _work_lookup(w0, w1, w2, jnp.clip(idxl, 0, 383))
-                pkd = _lane_gather(d_pack, lnd)
-                idxd = (pkd >> 16) + lax.shift_right_logical(
-                    v15i - (pkd & 0xFFFF), 15 - lnd
-                )
-                ed = _lane_gather(dw, jnp.clip(idxd, 0, 127))
+            # first symbol
+            e1, l1 = litlen_at(win, zero)
+            kind1 = e1 >> 28
+            x1 = (e1 >> 20) & 0xF
+            pay1 = e1 & 0xFFFFF
+            is_lit1 = kind1 == KIND_LIT
+            is_len1 = kind1 == KIND_MATCH
 
-            e = jnp.where(in_len, el, ed)
-            codelen = jnp.where(in_len, lnl, lnd)
-            kind = e >> 28
-            extra_n = (e >> 20) & 0xF
-            payload = e & 0xFFFFF
-            mask = (u32(1) << extra_n.astype(u32)) - u32(1)
-            extra_v = ((lo >> codelen.astype(u32)) & mask).astype(jnp.int32)
-            value = payload + extra_v
-            adv = codelen + extra_n
+            # match path: length extra + dist code + dist extra, same step
+            xv1 = (
+                peek(win, l1) & ((u32(1) << x1.astype(u32)) - u32(1))
+            ).astype(jnp.int32)
+            length = pay1 + xv1
+            s_d = l1 + x1
+            ed, ld = dist_at(win, s_d)
+            dkind = ed >> 28
+            dx = (ed >> 20) & 0xF
+            dpay = ed & 0xFFFFF
+            dxv = (
+                peek(win, s_d + ld) & ((u32(1) << dx.astype(u32)) - u32(1))
+            ).astype(jnp.int32)
+            dist = dpay + dxv
+            adv_m = l1 + x1 + ld + dx
 
-            is_lit = in_len & (kind == KIND_LIT)
-            is_lensym = in_len & (kind == KIND_MATCH)
-            is_dist = ~in_len & (kind == KIND_MATCH)
-            bad_now = active & (
-                (kind == KIND_INVALID) | (kind == KIND_EOB)
+            # literal path: up to two more literals this step
+            e2, l2 = litlen_at(win, l1)
+            take2 = is_lit1 & ((e2 >> 28) == KIND_LIT) & (remaining >= 2)
+            e3, l3 = litlen_at(win, l1 + l2)
+            take3 = take2 & ((e3 >> 28) == KIND_LIT) & (remaining >= 3)
+            cnt = jnp.where(is_lit1, 1 + take2 + take3, 0)
+            litreg = (
+                (pay1 & 0xFF)
+                | jnp.where(take2, (e2 & 0xFF) << 8, 0)
+                | jnp.where(take3, (e3 & 0xFF) << 16, 0)
             )
-            cover = jnp.where(is_lit, 1, jnp.where(is_dist, pend, 0))
+            adv_l = l1 + jnp.where(take2, l2, 0) + jnp.where(take3, l3, 0)
+
+            is_match = is_len1 & (dkind == KIND_MATCH)
+            bad_now = active & (
+                (kind1 == KIND_INVALID)
+                | (kind1 == KIND_EOB)
+                | (is_len1 & (dkind != KIND_MATCH))
+            )
+            cover = jnp.where(is_lit1, cnt, jnp.where(is_match, length, 0))
             bad_now = bad_now | (active & (cover > remaining))
 
             step = active & ~bad_now
-            emit = step & (is_lit | is_dist)
-            tkind = jnp.where(
-                emit & is_lit,
-                VTOK_LIT,
-                jnp.where(emit & is_dist, VTOK_MATCH, VTOK_NULL),
-            ).astype(u32)
-            tval = jnp.where(is_lit, payload, value).astype(u32) & u32(0xFFFF)
-            tcov = jnp.where(emit, cover, 0).astype(u32) & u32(0x3FFF)
-            packed = (tkind << 30) | (tcov << 16) | jnp.where(emit, tval, u32(0))
+            emit_lit = step & is_lit1
+            emit_match = step & is_match
+            packed = jnp.where(
+                emit_lit,
+                (u32(VTOK_LIT) << 30)
+                | (cnt.astype(u32) << 24)
+                | litreg.astype(u32),
+                jnp.where(
+                    emit_match,
+                    (u32(VTOK_MATCH) << 30)
+                    | ((length - 3).astype(u32) << 16)
+                    | dist.astype(u32),
+                    u32(0),
+                ),
+            )
             if "store" not in ablate:
                 tape_ref[pl.ds(it, 1)] = packed[None]
 
-            n = jnp.where(step, adv, 0)
-            lo, hi, bitcnt = consume(lo, hi, bitcnt, n)
-            cons = cons + n
-            pend = jnp.where(
-                step & is_lensym, value, jnp.where(step & is_dist, 0, pend)
+            n = jnp.where(
+                step, jnp.where(is_lit1, adv_l, jnp.where(is_match, adv_m, 0)), 0
             )
-            remaining = remaining - jnp.where(emit, cover, 0)
+            win = consume(win, n)
+            cons = cons + n
+            remaining = remaining - jnp.where(step, cover, 0)
             badi = badi | bad_now.astype(jnp.int32)
             if "any" in ablate:
                 alive = jnp.int32(1)
             else:
                 alive = jnp.any((remaining > 0) & (badi == 0)).astype(jnp.int32)
-            return (it + 1, alive, lo, hi, bitcnt, widx, pend, remaining, cons, badi)
+            lo, mid, hi, bitcnt = win
+            return (it + 1, alive, lo, mid, hi, bitcnt, widx,
+                    remaining, cons, badi)
 
         def cond(carry):
             it, alive = carry[0], carry[1]
             return (it < cap) & (alive != 0)
 
+        lo0, mid0, hi0, bc0 = win0
         init = (
-            jnp.int32(0), jnp.any(live0).astype(jnp.int32), lo0, hi0, bc0,
-            wi0, zero, jnp.where(live0, span, 0), zero,
+            jnp.int32(0), jnp.any(live0).astype(jnp.int32), lo0, mid0, hi0,
+            bc0, wi0, jnp.where(live0, span, 0), zero,
             jnp.zeros((8, 128), jnp.int32),
         )
-        (it, _alive, _lo, _hi, _bc, _wi, pend, remaining, cons, badi) = (
+        (it, _alive, _lo, _mid, _hi, _bc, _wi, remaining, cons, badi) = (
             lax.while_loop(cond, body, init)
         )
 
         # zero the tape rows the loop never reached
-        if "noclear" not in ablate:
-            def clear(i, _):
-                tape_ref[pl.ds(i, 1)] = jnp.zeros((1, 8, 128), u32)
-                return 0
+        def clear(i, _):
+            tape_ref[pl.ds(i, 1)] = jnp.zeros((1, 8, 128), u32)
+            return 0
 
-            lax.fori_loop(it, cap, clear, 0)
+        lax.fori_loop(it, cap, clear, 0)
 
         cons_ref[:] = cons
-        bad_ref[:] = badi | ((pend != 0) & live0).astype(jnp.int32)
+        bad_ref[:] = badi
         rem_ref[:] = remaining
 
     return kernel
