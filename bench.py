@@ -1,10 +1,13 @@
 """Benchmark driver: the framework's Silesia-style matrix + device headline.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} —
-ALWAYS, even when every device phase fails: main() runs under a global
-wall-clock budget (ZRS_BENCH_BUDGET_S, default 2100s) and each phase is
-gated on the time remaining, so the driver's own timeout never fires first
-(round-2 failure mode: rc=124, no JSON captured).
+Prints a result JSON line {"metric", "value", "unit", "vs_baseline", ...}
+INCREMENTALLY — once after every completed phase, last line wins — so a
+kill at ANY point after the first phase still leaves a parseable result
+on stdout (VERDICT r3 item 2: rounds 1-3 all lost their device numbers to
+late kills). The global wall-clock budget is ZRS_BENCH_BUDGET_S (default
+1200s) and every device phase runs in a KILLABLE SUBPROCESS: a wedged
+tunnel call can outlive SIGALRM (the handler can't preempt a blocked C
+call), but it can't outlive SIGKILL from the parent.
 
 Corpus: a deterministic "silesia-proxy" tar (~8 MiB) mixing text
 (lcet10.txt), PDF, JPEG (incompressible), executables, and JS source from
@@ -60,8 +63,10 @@ LEVELS_MATRIX = (1, 6, 9)
 LEVELS_SWEEP = tuple(range(10))
 
 T0 = time.monotonic()
-BUDGET = float(os.environ.get("ZRS_BENCH_BUDGET_S", "2100"))
+BUDGET = float(os.environ.get("ZRS_BENCH_BUDGET_S", "1200"))
 PHASE_SECONDS = {}
+if os.environ.get("ZRS_BENCH_TARGET_MB"):
+    TARGET_SIZE = int(float(os.environ["ZRS_BENCH_TARGET_MB"]) * 1024 * 1024)
 
 
 def remaining() -> float:
@@ -218,26 +223,43 @@ def bench_native(data: bytes, zstreams: dict) -> dict:
 def bench_decode_sweep(data: bytes) -> dict:
     """Streaming decode with input fed in 2^N-byte pieces for N=4..24 (the
     reference's blogpost-uncompress chunked sweep, bench.yml:55-64) through
-    the host Inflator on a 256 KiB slice (the host engine is the
-    semantics-reference path, not the fast path; the native numbers above
-    are the throughput story)."""
+    the PRODUCTION streaming path — models/stream.py Inflate, which routes
+    to the resumable native engine (zrs_istream_*) when built. The pure
+    Python Inflator (the semantics-reference engine) is reported once at
+    2^14 for scale."""
+    from zlib_rs_tpu.models.stream import Inflate
     from zlib_rs_tpu.models.inflate import Inflator
     from zlib_rs_tpu.config import InflateConfig, InflateFlush
 
-    slice_ = data[: 256 * 1024]
+    slice_ = data[: 4 * 1024 * 1024]
     z = zlib.compress(slice_, LEVEL)
     out = {}
     for nbits in range(4, 25):
         step = 1 << nbits
+        # small feeds dominate in Python-call overhead; shrink the corpus
+        # below 2^10 so the sweep stays fast but still measures the path
+        sl = slice_[: 256 * 1024] if nbits < 10 else slice_
+        zz = zlib.compress(sl, LEVEL) if nbits < 10 else z
         t0 = time.perf_counter()
-        inf = Inflator(InflateConfig(window_bits=15))
+        inf = Inflate()
         produced = 0
-        for i in range(0, len(z), step):
-            _rc, _consumed, chunk = inf.inflate(z[i : i + step], None, InflateFlush.NO_FLUSH)
+        for i in range(0, len(zz), step):
+            _st, _consumed, chunk = inf.decompress(zz[i : i + step], None)
             produced += len(chunk)
         dt = time.perf_counter() - t0
-        assert produced == len(slice_)
-        out[f"2^{nbits}"] = round(len(slice_) / dt / 1e6, 2)  # MB/s
+        assert produced == len(sl)
+        out[f"2^{nbits}"] = round(len(sl) / dt / 1e6, 2)  # MB/s
+    # reference-engine row (the exact Python semantics engine)
+    sl = slice_[: 256 * 1024]
+    zz = zlib.compress(sl, LEVEL)
+    t0 = time.perf_counter()
+    inf = Inflator(InflateConfig(window_bits=15))
+    produced = 0
+    for i in range(0, len(zz), 1 << 14):
+        _rc, _c, chunk = inf.inflate(zz[i : i + (1 << 14)], None, InflateFlush.NO_FLUSH)
+        produced += len(chunk)
+    assert produced == len(sl)
+    out["pure_engine_2^14"] = round(len(sl) / (time.perf_counter() - t0) / 1e6, 2)
     return out
 
 
@@ -685,9 +707,11 @@ def _phase_xla_encode(data, flat, dev):
         _log(f"xla encode device-trace {dev['encode_trace_gbps']} GB/s ({sec:.2f}s/batch)")
 
 
-def bench_device(data: bytes, seed_pkl: str | None) -> dict:
+def bench_device(data: bytes, seed_pkl: str | None, emit=None) -> dict:
     """Device phases, most-valuable-first, each gated on remaining() so the
-    bench always finishes inside the global budget (VERDICT r2 item 1)."""
+    bench always finishes inside the global budget (VERDICT r2 item 1).
+    `emit(dev)` is called after every phase so partial results survive a
+    parent-side kill (VERDICT r3 item 2)."""
     flat = np.frombuffer(data, np.uint8)
     dev = {}
     _log("device measurement first (no prior fetch)")
@@ -723,7 +747,130 @@ def bench_device(data: bytes, seed_pkl: str | None) -> dict:
                 fn()
         except Exception as e:
             _log(f"{name} phase failed: {type(e).__name__}: {str(e)[:300]}")
+        if emit is not None:
+            emit(dev)
     return dev
+
+
+def _device_child_main(seed_pkl: str | None) -> None:
+    """Entry point for the killable device subprocess: run the device
+    phases, print 'DEVPART <json>' after EVERY phase (the parent merges
+    the last one received), exit 0. The parent enforces the hard deadline
+    with SIGKILL — watchdogs here are best-effort only."""
+    data = load_corpus()
+
+    def emit(dev):
+        print(
+            "DEVPART " + json.dumps({"dev": dev, "phase_seconds": PHASE_SECONDS}),
+            flush=True,
+        )
+
+    dev = bench_device(data, seed_pkl, emit=emit)
+    emit(dev)
+
+
+def _compose_result(result, device, cpu, native, sweep):
+    """Recompute the derived headline fields into `result` (called before
+    every incremental snapshot — last printed line wins)."""
+    base6 = None
+    if cpu:
+        base6 = cpu["compress"][str(LEVEL)]["gbps"]
+    # headline: the best trace-measured device encode engine (the SMEM
+    # scan kernel when it compiled, else the XLA matcher path); when
+    # every trace wedged on the tunnel, fall back to the kernel-ratio
+    # phase's e2e wall rate — real work (per-batch host materialization
+    # + verified round trip), just host-inclusive
+    headline = max(
+        device.get("encode_trace_gbps") or 0.0,
+        device.get("kernel_encode_trace_gbps") or 0.0,
+    )
+    headline_src = "device trace"
+    if not headline and device.get("kernel_e2e_wall_gbps"):
+        headline = device["kernel_e2e_wall_gbps"]
+        headline_src = "e2e wall incl host (no device trace landed yet)"
+    result.update(
+        {
+            "value": round(headline, 5),
+            "value_source": headline_src,
+            "vs_baseline": round(headline / base6, 4) if base6 else None,
+            "ratio_vs_zlib": (
+                device.get("kernel_ratio_vs_zlib")
+                if device.get("kernel_ratio_vs_zlib") is not None
+                and (device.get("kernel_encode_trace_gbps") or 0.0)
+                >= (device.get("encode_trace_gbps") or 0.0)
+                else device.get("ratio_vs_zlib")
+            ),
+            "measurement_note": (
+                "value = level-6 chunk-parallel encode GB/s/chip from the "
+                "jax.profiler DEVICE trace (TPU-lane jit span / dispatches). "
+                "Wall-clock methods (block_until_ready loops, data-chained "
+                "dispatch chains) measured up to ~40x optimistic on this "
+                "tunnel-attached chip; only trace spans are reported. The "
+                "native C++ engine numbers (native.*) are the CPU "
+                "production path; native one-shot output is byte-identical "
+                "to zlib. Absolute host GB/s on this shared box swing ~2x "
+                "run-to-run; trust the ratios vs same-run zlib."
+            ),
+            "device": device,
+            "device_unreachable": not device,
+            "native": native,
+            "cpu_zlib": cpu,
+            "host_stream_decode_mbps_by_input_chunk": sweep,
+            "phase_seconds": PHASE_SECONDS,
+            "budget_s": BUDGET,
+            "elapsed_s": round(time.monotonic() - T0, 1),
+        }
+    )
+    return result
+
+
+def _run_device_subprocess(seed_pkl, device, snapshot):
+    """Run the device phases in a KILLABLE child: a wedged tunnel call can
+    outlive SIGALRM (the handler cannot preempt a blocked C call — round 3
+    saw a phase run 1118s past a 300s alarm) but not SIGKILL. The child
+    prints 'DEVPART <json>' after every phase; each is merged + snapshotted
+    immediately, so the final kill loses nothing already measured."""
+    import threading
+
+    deadline = remaining() - 60  # reserve for final assembly
+    if deadline < 60:
+        _log("device subprocess skipped: no budget left")
+        return
+    env = dict(os.environ)
+    env["ZRS_BENCH_BUDGET_S"] = str(max(60, int(deadline - 10)))
+    args = [sys.executable, os.path.abspath(__file__), "--device-child"]
+    if seed_pkl:
+        args.append(seed_pkl)
+    proc = subprocess.Popen(
+        args, stdout=subprocess.PIPE, stderr=sys.stderr, text=True, env=env,
+    )
+
+    def reader():
+        for line in proc.stdout:
+            if line.startswith("DEVPART "):
+                try:
+                    part = json.loads(line[8:])
+                except json.JSONDecodeError:
+                    continue
+                device.clear()
+                device.update(part.get("dev", {}))
+                for k, v in part.get("phase_seconds", {}).items():
+                    PHASE_SECONDS[k] = v
+                snapshot()
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        proc.wait(timeout=max(1, deadline))
+        _log("device subprocess finished")
+    except subprocess.TimeoutExpired:
+        _log("device subprocess hit the hard deadline: SIGKILL")
+        proc.kill()
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            pass
+    t.join(timeout=10)
 
 
 def main():
@@ -734,15 +881,23 @@ def main():
         "vs_baseline": None,
     }
     device = {}
-    cpu = native = sweep = None
+    state = {"cpu": None, "native": None, "sweep": None}
     ratio_proc = seed_proc = None
     seed_pkl = f"/tmp/zrs_bench_seeded_{os.getpid()}.pkl"
+
+    def snapshot():
+        _compose_result(
+            result, device, state["cpu"], state["native"], state["sweep"]
+        )
+        print(json.dumps(result), flush=True)
+
     try:
         data = load_corpus()
         n = len(data)
         result["corpus"] = "silesia-proxy tar (reference test-data + system binaries)"
         result["corpus_bytes"] = n
         _log(f"corpus silesia-proxy tar, {n} bytes; budget {BUDGET:.0f}s")
+        snapshot()  # first parseable line lands before any slow work
 
         # CPU-pinned children run CONCURRENTLY with everything below:
         # the 128 KiB-pipeline ratio check and the swarm seed stream.
@@ -758,41 +913,36 @@ def main():
         )
 
         with _phase("cpu"):
-            cpu, zstreams = bench_cpu(data)
-        _log(f"cpu zlib: {cpu}")
+            state["cpu"], zstreams = bench_cpu(data)
+        _log(f"cpu zlib: {state['cpu']}")
+        snapshot()
         with _phase("native"):
-            native = bench_native(data, zstreams)
-        _log(f"native: {native}")
+            state["native"] = bench_native(data, zstreams)
+        _log(f"native: {state['native']}")
+        snapshot()
         with _phase("decode_sweep"):
-            sweep = bench_decode_sweep(data)
-        _log(f"host streaming decode sweep (MB/s): {sweep}")
+            state["sweep"] = bench_decode_sweep(data)
+        _log(f"host streaming decode sweep (MB/s): {state['sweep']}")
+        snapshot()
 
-        # wait (briefly) for the seed child so the swarm phase has input
+        # wait (briefly) for the seed child so the device phases have input
         if seed_proc is not None:
             try:
-                seed_proc.wait(timeout=max(1, min(300, remaining() - 900)))
+                seed_proc.wait(timeout=max(1, min(120, remaining() - 600)))
             except subprocess.TimeoutExpired:
                 pass
         have_seeds = os.path.exists(seed_pkl)
 
         with _phase("device_total"):
-            try:
-                device = bench_device(data, seed_pkl if have_seeds else None)
-            except Exception as e:
-                _log(f"device section failed outright: {e}")
-        if not have_seeds and seed_proc is not None and os.path.exists(seed_pkl):
-            # seeds arrived late; give swarm one more shot if time remains
-            if remaining() > 200:
-                try:
-                    with _phase("device:swarm"):
-                        _phase_swarm(seed_pkl, device)
-                except Exception as e:
-                    _log(f"late swarm failed: {e}")
+            _run_device_subprocess(
+                seed_pkl if have_seeds else None, device, snapshot
+            )
+        snapshot()
 
         # collect the concurrent CPU ratio child
         if ratio_proc is not None:
             try:
-                out_txt, _ = ratio_proc.communicate(timeout=max(1, min(600, remaining())))
+                out_txt, _ = ratio_proc.communicate(timeout=max(1, min(300, remaining())))
                 for line in out_txt.splitlines():
                     if line.startswith("RATIO "):
                         device["ratio_vs_zlib"] = round(json.loads(line[6:])["ratio"], 4)
@@ -806,62 +956,17 @@ def main():
         for p in (ratio_proc, seed_proc):
             if p is not None and p.poll() is None:
                 p.kill()
-        base6 = None
-        if cpu:
-            base6 = cpu["compress"][str(LEVEL)]["gbps"]
-        # headline: the best trace-measured device encode engine (the SMEM
-        # scan kernel when it compiled, else the XLA matcher path); when
-        # every trace wedged on the tunnel, fall back to the kernel-ratio
-        # phase's e2e wall rate — real work (per-batch host materialization
-        # + verified round trip), just host-inclusive
-        headline = max(
-            device.get("encode_trace_gbps") or 0.0,
-            device.get("kernel_encode_trace_gbps") or 0.0,
-        )
-        headline_src = "device trace"
-        if not headline and device.get("kernel_e2e_wall_gbps"):
-            headline = device["kernel_e2e_wall_gbps"]
-            headline_src = "e2e wall incl host (device traces wedged this run)"
         if not device:
             _log(
                 "DEVICE UNREACHABLE for this entire run (tunnel outage): the "
                 "value field is 0.0, NOT a measurement. Last trace-measured "
                 "numbers and methodology are recorded in STATUS.md."
             )
-        result.update(
-            {
-                "value": round(headline, 5),
-                "value_source": headline_src,
-                "vs_baseline": round(headline / base6, 4) if base6 else None,
-                "ratio_vs_zlib": (
-                    device.get("kernel_ratio_vs_zlib")
-                    if device.get("kernel_ratio_vs_zlib") is not None
-                    and (device.get("kernel_encode_trace_gbps") or 0.0)
-                    >= (device.get("encode_trace_gbps") or 0.0)
-                    else device.get("ratio_vs_zlib")
-                ),
-                "measurement_note": (
-                    "value = level-6 chunk-parallel encode GB/s/chip from the "
-                    "jax.profiler DEVICE trace (TPU-lane jit span / dispatches). "
-                    "Wall-clock methods (block_until_ready loops, data-chained "
-                    "dispatch chains) measured up to ~40x optimistic on this "
-                    "tunnel-attached chip; only trace spans are reported. The "
-                    "native C++ engine numbers (native.*) are the CPU "
-                    "production path; native one-shot output is byte-identical "
-                    "to zlib."
-                ),
-                "device": device,
-                "device_unreachable": not device,
-                "native": native,
-                "cpu_zlib": cpu,
-                "host_stream_decode_mbps_by_input_chunk": sweep,
-                "phase_seconds": PHASE_SECONDS,
-                "budget_s": BUDGET,
-                "elapsed_s": round(time.monotonic() - T0, 1),
-            }
-        )
-        print(json.dumps(result))
+        snapshot()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--device-child":
+        _device_child_main(sys.argv[2] if len(sys.argv) > 2 else None)
+    else:
+        main()

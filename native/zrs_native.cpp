@@ -1621,6 +1621,212 @@ long find_candidate(const uint8_t* in, size_t nin, uint64_t from_bit,
   return -1;
 }
 
+// ---------------------------------------------------------------------------
+// Resumable streaming inflate (VERDICT r4 item 5): a persistent state handle
+// that accepts input at ARBITRARY byte boundaries and emits output
+// incrementally at full native speed — the engine under the stream/gz hot
+// loops (reference contract: the z_stream pump inflate.rs:2382; chunked
+// matrix blogpost-uncompress.rs:6-57). Decodes the RAW deflate body; the
+// Python layer owns container framing (zlib/gzip headers + trailers) and
+// checksum verification, mirroring how the reference splits dispatch()
+// header states from the inflate_fast hot loop.
+//
+// Resumability scheme: unconsumed input is stashed in `inbuf` (so the
+// caller's buffer is always fully consumed); the decode loop SAVES the
+// BitReader before every symbol and rolls back on bit starvation, pausing
+// at the last complete symbol. No mid-symbol state ever persists — the
+// persistent state is just (mode, tables, stored_left, last, bit_off).
+// ---------------------------------------------------------------------------
+
+struct InfStream {
+  std::vector<uint8_t> inbuf;   // unconsumed input bytes
+  int bit_off = 0;              // consumed bits of inbuf[0]
+  std::vector<uint8_t> outbuf;  // decoded bytes; outbuf[0] == absolute `base`
+  size_t base = 0;
+  size_t olen = 0;              // valid bytes in outbuf
+  size_t op = 0;                // absolute output cursor (dict included)
+  size_t served = 0;            // absolute bytes handed to caller
+  size_t dict_len = 0;
+  uint64_t in_bits = 0;         // consumed input bits (excl. stashed tail)
+  int mode = 0;                 // 0 header, 1 stored, 2 coded, 3 done, -1 err
+  unsigned stored_left = 0;
+  bool last = false;
+  InfTable lt, dt;
+
+  void set_dict(const uint8_t* d, size_t n) {
+    size_t take = std::min<size_t>(n, WSIZE);
+    outbuf.assign(d + (n - take), d + n);
+    olen = take;
+    op = served = dict_len = take;
+    base = 0;
+  }
+
+  void ensure_out(size_t extra) {
+    if (olen + extra > outbuf.size())
+      outbuf.resize(std::max(outbuf.size() * 2 + 65536, olen + extra));
+  }
+
+  void compact() {
+    // keep the 32 KiB window behind op and everything unserved
+    size_t keep_from = std::min(served, op >= (size_t)WSIZE ? op - WSIZE : 0);
+    if (keep_from > base + (1u << 20)) {  // amortize the memmove
+      size_t drop = keep_from - base;
+      std::memmove(outbuf.data(), outbuf.data() + drop, olen - drop);
+      olen -= drop;
+      base = keep_from;
+    }
+  }
+
+  // decode as far as the stashed input allows; false on data error
+  bool advance() {
+    if (mode == 3) return true;
+    if (mode == -1) return false;
+    BitReader br(inbuf.data(), inbuf.size());
+    const uint8_t* in0 = inbuf.data();
+    if (bit_off) {
+      if (!br.need(8)) return true;  // no byte to resume into
+      br.drop(bit_off);
+    }
+    struct Sv { const uint8_t* p; uint64_t buf; int cnt; };
+    auto save = [&br]() { return Sv{br.p, br.buf, br.cnt}; };
+    auto restore = [&br](const Sv& s) { br.p = s.p; br.buf = s.buf; br.cnt = s.cnt; };
+
+    for (;;) {
+      if (mode == 0) {  // block header
+        Sv sv = save();
+        if (!br.need(3)) { restore(sv); break; }
+        int fin = br.peek(1); br.drop(1);
+        int type = br.peek(2); br.drop(2);
+        if (type == 3) { mode = -1; break; }
+        if (type == 0) {
+          br.drop(br.cnt & 7);
+          if (!br.need(32)) { restore(sv); break; }
+          unsigned len = br.peek(16); br.drop(16);
+          unsigned nlen = br.peek(16); br.drop(16);
+          if ((len ^ nlen) != 0xffff) { mode = -1; break; }
+          last = fin != 0;
+          stored_left = len;
+          mode = 1;
+        } else if (type == 1) {
+          const auto& f = fixed_tables();
+          lt = f.first;
+          dt = f.second;
+          last = fin != 0;
+          mode = 2;
+        } else {
+          InfTable l2, d2;
+          int perr = parse_dynamic_tables(br, l2, d2);
+          if (perr == -3) { restore(sv); break; }  // header incomplete: wait
+          if (perr) { mode = -1; break; }
+          lt = std::move(l2);
+          dt = std::move(d2);
+          last = fin != 0;
+          mode = 2;
+        }
+      } else if (mode == 1) {  // stored
+        while (stored_left && br.cnt >= 8) {
+          ensure_out(1);
+          outbuf[olen++] = (uint8_t)br.peek(8);
+          br.drop(8);
+          op++;
+          stored_left--;
+        }
+        if (stored_left) {
+          size_t take = std::min<size_t>((size_t)(br.end - br.p), stored_left);
+          if (take) {
+            ensure_out(take);
+            std::memcpy(outbuf.data() + olen, br.p, take);
+            olen += take;
+            op += take;
+            br.p += take;
+            stored_left -= (unsigned)take;
+            br.clear_stale();
+          }
+        }
+        if (stored_left) break;  // need more input
+        mode = last ? 3 : 0;
+        if (mode == 3) break;
+      } else {  // coded block body
+        bool pause = false;
+        for (;;) {
+          Sv sv = save();
+          if (!br.need(15)) { /* tail: decode with what's left */ }
+          uint32_t e = lt.t[br.peek(lt.root)];
+          int kind = e >> 28, nb = (e >> 16) & 0x3f;
+          if (kind == 3) {
+            int off = e & 0xffff, sb = (e >> 22) & 0x3f;
+            if (br.cnt < nb + sb && !br.need(nb + sb)) { restore(sv); pause = true; break; }
+            e = lt.t[off + (br.peek(nb + sb) >> nb)];
+            kind = e >> 28;
+            nb += (e >> 16) & 0x3f;
+          }
+          if (br.cnt < nb) { restore(sv); pause = true; break; }
+          if (kind == 0) {
+            br.drop(nb);
+            ensure_out(1);
+            outbuf[olen++] = (uint8_t)(e & 0xff);
+            op++;
+            continue;
+          }
+          if (kind == 2) { br.drop(nb); mode = last ? 3 : 0; break; }
+          if (kind == 4) { mode = -1; break; }
+          int aux = (e >> 22) & 0x3f;
+          if (!br.need(nb + aux)) { restore(sv); pause = true; break; }
+          br.drop(nb);
+          int length = (int)(e & 0xffff) + (aux ? (int)br.peek(aux) : 0);
+          if (aux) br.drop(aux);
+          if (!br.need(15)) { }
+          uint32_t de = dt.t[br.peek(dt.root)];
+          int dkind = de >> 28, dnb = (de >> 16) & 0x3f;
+          if (dkind == 3) {
+            int off = de & 0xffff, sb = (de >> 22) & 0x3f;
+            if (br.cnt < dnb + sb && !br.need(dnb + sb)) { restore(sv); pause = true; break; }
+            de = dt.t[off + (br.peek(dnb + sb) >> dnb)];
+            dkind = de >> 28;
+            dnb += (de >> 16) & 0x3f;
+          }
+          if (dkind == 4) { mode = -1; break; }
+          int daux = (de >> 22) & 0x3f;
+          if (!br.need(dnb + daux)) { restore(sv); pause = true; break; }
+          br.drop(dnb);
+          int dist = (int)(de & 0xffff) + (daux ? (int)br.peek(daux) : 0);
+          if (daux) br.drop(daux);
+          if ((size_t)dist > op) { mode = -1; break; }
+          ensure_out((size_t)length);
+          uint8_t* dst = outbuf.data() + olen;
+          const uint8_t* src = outbuf.data() + (op - (size_t)dist - base);
+          if (dist >= 8 && (size_t)length <= (size_t)dist) {
+            std::memcpy(dst, src, (size_t)length);
+          } else {
+            for (int i = 0; i < length; i++) dst[i] = src[i];
+          }
+          olen += (size_t)length;
+          op += (size_t)length;
+        }
+        if (pause || mode == 3 || mode == -1) break;
+      }
+      if (mode == -1) break;
+    }
+    // commit consumed input: whole bytes leave inbuf, the sub-byte stays
+    uint64_t used_bits = (uint64_t)(br.p - in0) * 8 - (uint64_t)br.cnt;
+    in_bits += used_bits - (uint64_t)bit_off;
+    size_t drop_bytes = (size_t)(used_bits >> 3);
+    bit_off = (int)(used_bits & 7);
+    if (drop_bytes)
+      inbuf.erase(inbuf.begin(), inbuf.begin() + (long)drop_bytes);
+    compact();
+    return mode != -1;
+  }
+
+  long serve(uint8_t* out, size_t cap) {
+    size_t take = std::min(op - served, cap);
+    if (take) std::memcpy(out, outbuf.data() + (served - base), take);
+    served += take;
+    compact();
+    return (long)take;
+  }
+};
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -1667,6 +1873,63 @@ long zrs_deflate_chunk(const uint8_t* dict, size_t dict_len, const uint8_t* in,
 long zrs_inflate_raw(const uint8_t* in, size_t n, uint8_t* out, size_t cap,
                      size_t* in_used) {
   return inflate_raw_impl(in, n, out, cap, in_used);
+}
+
+// -- resumable streaming inflate handles ------------------------------------
+// Contract: pump() takes input at any boundary (it is always fully absorbed
+// into the handle) and writes up to `cap` output bytes. Flag bits:
+//   1 = stream done (final block decoded AND all output served)
+//   2 = data error
+//   4 = more output pending beyond cap (call again with empty input)
+
+void* zrs_istream_new(void) { return new InfStream(); }
+
+void zrs_istream_free(void* s) { delete (InfStream*)s; }
+
+void* zrs_istream_copy(void* s) { return new InfStream(*(InfStream*)s); }
+
+void zrs_istream_set_dict(void* s, const uint8_t* d, size_t n) {
+  ((InfStream*)s)->set_dict(d, n);
+}
+
+long zrs_istream_pump(void* sv, const uint8_t* in, size_t nin, uint8_t* out,
+                      size_t cap, int* flags) {
+  InfStream* s = (InfStream*)sv;
+  if (nin) s->inbuf.insert(s->inbuf.end(), in, in + nin);
+  bool ok = s->advance();
+  long w = s->serve(out, cap);
+  int f = 0;
+  if (s->mode == 3 && s->served == s->op) f |= 1;
+  if (!ok) f |= 2;
+  if (s->op > s->served) f |= 4;
+  if (flags) *flags = f;
+  return w;
+}
+
+// after the final block: bytes of stashed input that belong to whatever
+// follows the deflate body (trailer / next member). A partially-consumed
+// byte counts as consumed (zlib rounds the final block up to a byte).
+long zrs_istream_take_tail(void* sv, uint8_t* out, size_t cap) {
+  InfStream* s = (InfStream*)sv;
+  size_t skip = s->bit_off ? 1 : 0;
+  if (s->inbuf.size() < skip) return 0;
+  size_t n = std::min(s->inbuf.size() - skip, cap);
+  if (n) std::memcpy(out, s->inbuf.data() + skip, n);
+  s->inbuf.erase(s->inbuf.begin(), s->inbuf.begin() + (long)(skip + n));
+  s->bit_off = 0;
+  return (long)n;
+}
+
+unsigned long long zrs_istream_total_out(void* s) {
+  return ((InfStream*)s)->op - ((InfStream*)s)->dict_len;
+}
+
+int zrs_istream_mode(void* s) { return ((InfStream*)s)->mode; }
+
+// sync-point probe for the stream layer: at a block boundary on a byte edge
+int zrs_istream_at_boundary(void* sv) {
+  InfStream* s = (InfStream*)sv;
+  return s->mode == 0 && s->bit_off == 0 && s->inbuf.empty();
 }
 
 // zran index build: decode the whole raw stream once, recording access

@@ -56,7 +56,8 @@ def test_bench_native_phase():
 def test_bench_decode_sweep_phase():
     data = _corpus()
     out = bench.bench_decode_sweep(data)
-    assert set(out) == {f"2^{n}" for n in range(4, 25)}
+    assert {f"2^{n}" for n in range(4, 25)} <= set(out)
+    assert "pure_engine_2^14" in out
     assert all(v > 0 for v in out.values())
 
 
@@ -65,3 +66,43 @@ def test_bench_corpus_deterministic():
     b = bench.load_corpus()
     assert a == b
     assert len(a) == bench.TARGET_SIZE
+
+
+def test_bench_emits_json_before_kill():
+    # VERDICT r3 item 2: the driver may kill bench.py at any point (wedged
+    # tunnel). A parseable result JSON line must already be on stdout
+    # before the device phases even start — SIGKILL mid-run and parse.
+    import json
+    import os
+    import signal
+    import subprocess
+    import time
+
+    env = dict(os.environ)
+    env["ZRS_BENCH_TARGET_MB"] = "1"
+    env["ZRS_BENCH_BUDGET_S"] = "600"
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen(
+        [sys.executable, str(Path(bench.__file__))],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        env=env,
+    )
+    parsed = None
+    deadline = time.monotonic() + 240
+    try:
+        while time.monotonic() < deadline:
+            line = proc.stdout.readline()
+            if not line:
+                break
+            if line.startswith("{"):
+                parsed = json.loads(line)
+                break
+    finally:
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGKILL)  # exact PID, never a pattern
+        proc.wait(timeout=30)
+    assert parsed is not None, "no JSON line emitted before kill"
+    assert parsed["metric"].startswith("parallel_deflate")
+    assert "unit" in parsed and "value" in parsed

@@ -145,3 +145,28 @@ def test_sharded_encode_step_collectives():
     nbytes = (bits + 7) // 8
     assert (offsets == np.cumsum(nbytes) - nbytes).all()
     assert (bits > 0).all()
+
+
+def test_corrupt_device_result_falls_back(monkeypatch):
+    # VERDICT r3 item 1: a device engine that returns WRONG BYTES without
+    # raising must not surface them — the container checksum discards the
+    # device result, the exact chain re-runs, and the fallback is counted.
+    from zlib_rs_tpu.parallel import pipeline, vector_inflate, swarm_inflate
+
+    data = b"abc" * 5000 + bytes(range(256)) * 40
+    out, idx = compress_parallel(data, level=6, return_index=True)
+
+    def corrupt_vector(bodies, out_sizes, seeds, **kw):
+        return [b"\x00" * n for n in out_sizes]  # silently wrong
+
+    def corrupt_kernel(bodies, out_sizes, **kw):
+        return [b"\x00" * n for n in out_sizes]
+
+    monkeypatch.setattr(vector_inflate, "decode_chunks_vector", corrupt_vector)
+    monkeypatch.setattr(swarm_inflate, "decode_chunks_kernel", corrupt_kernel)
+    monkeypatch.setattr(swarm_inflate, "decode_chunks_seeded", corrupt_kernel)
+    before = pipeline.fallback_stats().get("device_checksum:ValueError", 0)
+    got = pipeline.decompress_parallel(out, idx, engine="tpu")
+    assert got == data
+    after = pipeline.fallback_stats().get("device_checksum:ValueError", 0)
+    assert after == before + 1

@@ -142,13 +142,28 @@ class GzFile:
         self._comp_read += len(chunk)
         return True
 
+    @staticmethod
+    def _new_inflater():
+        """gzip-member inflater: the native fast-stream engine when built
+        (VERDICT r4 item 5 — the gz read hot loop, gz.rs:1424 gz_fetch /
+        :1475 gz_decomp role), else the exact Python engine."""
+        cfg = InflateConfig(window_bits=31)
+        try:
+            from . import faststream
+
+            if faststream.eligible(cfg):
+                return faststream.FastInflateEngine(cfg)
+        except Exception:
+            pass
+        return Inflator(cfg)
+
     def _look(self) -> None:
         """Sniff gzip magic vs transparent mode (gz.rs:1226 gz_look)."""
         while len(self._inbuf) < 2 and not self._eof:
             self._fill_in()
         if len(self._inbuf) >= 2 and self._inbuf[0] == 0x1F and self._inbuf[1] == 0x8B:
             self._direct = False
-            self._inf = Inflator(InflateConfig(window_bits=31))
+            self._inf = self._new_inflater()
         else:
             self._direct = True
             self._inf = None
@@ -169,9 +184,7 @@ class GzFile:
                     # Truncated member: the inflater started but never saw
                     # StreamEnd. gzread reports an error here (gz.rs gz_decomp
                     # "unexpected end of file"), not a clean EOF.
-                    from .inflate import Mode as _IMode
-
-                    if self._inf.mode not in (_IMode.DONE,):
+                    if not _inf_finished(self._inf):
                         self._set_err(ReturnCode.BufError, "unexpected end of file")
                 return False
             rc, consumed, out = self._inf.inflate(
@@ -181,11 +194,15 @@ class GzFile:
             if out:
                 self._outbuf.extend(out)
             if rc == ReturnCode.StreamEnd:
+                # the fast engine absorbs past-member bytes; hand them back
+                tail = getattr(self._inf, "unused_tail", b"")
+                if tail:
+                    self._inbuf = tail + self._inbuf
                 # multi-member: look for another member (gz.rs:1505-1509)
                 while len(self._inbuf) < 2 and not self._eof:
                     self._fill_in()
                 if len(self._inbuf) >= 2 and self._inbuf[:2] == b"\x1f\x8b":
-                    self._inf = Inflator(InflateConfig(window_bits=31))
+                    self._inf = self._new_inflater()
                     continue
                 if self._inbuf:
                     # trailing garbage is ignored, like gzio
@@ -448,3 +465,14 @@ def gzclose_w(f: GzFile) -> ReturnCode:
         return ReturnCode.StreamError
     f.close()
     return ReturnCode.Ok
+
+
+def _inf_finished(inf) -> bool:
+    """True when the member decoded to StreamEnd (works for both the exact
+    Inflator and the native FastInflateEngine)."""
+    fin = getattr(inf, "finished", None)
+    if fin is not None:
+        return bool(fin)
+    from .inflate import Mode as _IMode
+
+    return inf.mode == _IMode.DONE

@@ -140,7 +140,17 @@ class Deflate:
 
 
 class Inflate:
-    """Streaming decompressor (reference: stable.rs:70 Inflate)."""
+    """Streaming decompressor (reference: stable.rs:70 Inflate).
+
+    Hot-path routing (VERDICT r4 item 5): when the native runtime is built
+    and the config is a full-window zlib/gzip/raw stream, the pump runs on
+    the resumable native engine (models/faststream.py over
+    native/zrs_native.cpp InfStream) at ~2 orders of magnitude over the
+    pure-Python Inflator. Introspection/stateful extras (set_dictionary,
+    get_header, prime, sync) disable the fast path BEFORE it engages so
+    their exact semantics stay on the reference engine; ZRS_NATIVE_STREAM=0
+    forces the pure path.
+    """
 
     def __init__(self, config: InflateConfig | None = None, **kwargs):
         if config is None:
@@ -148,47 +158,65 @@ class Inflate:
         self.config = config
         self._eng = Inflator(config)
         self._finished = False
+        self._fast = None
+        self._fast_ok = _fast_eligible(config)
+
+    def _deopt(self) -> None:
+        """Disable the native fast path (only effective before engagement;
+        the advanced APIs below call this so they always run on the exact
+        engine)."""
+        if self._fast is None:
+            self._fast_ok = False
 
     @property
     def total_in(self) -> int:
-        return self._eng.total_in
+        return (self._fast or self._eng).total_in
 
     @property
     def total_out(self) -> int:
-        return self._eng.total_out
+        return (self._fast or self._eng).total_out
 
     @property
     def msg(self) -> str | None:
-        return self._eng.msg
+        return (self._fast or self._eng).msg
 
     @property
     def data_type(self) -> int:
-        return self._eng.data_type
+        return (self._fast or self._eng).data_type
 
     @property
     def dict_id(self) -> int:
-        return self._eng.dict_id
+        return (self._fast or self._eng).dict_id
 
     def set_dictionary(self, dictionary: bytes) -> None:
-        rc = self._eng.set_dictionary(dictionary)
+        self._deopt()
+        if self._fast is not None:
+            rc = self._fast.set_dictionary(dictionary)
+        else:
+            rc = self._eng.set_dictionary(dictionary)
         if rc != ReturnCode.Ok:
-            raise InflateError(rc, self._eng.msg)
+            raise InflateError(rc, self.msg)
 
     def get_header(self):
+        self._deopt()
         return self._eng.get_header()
 
     def header_fields(self):
         return self._eng.header_fields()
 
     def prime(self, bits: int, value: int) -> None:
+        self._deopt()
         rc = self._eng.prime(bits, value)
         if rc != ReturnCode.Ok:
             raise InflateError(rc)
 
     def sync(self, data: bytes) -> tuple[ReturnCode, int]:
+        self._deopt()
         return self._eng.sync(data)
 
     def sync_point(self) -> bool:
+        if self._fast is not None:
+            return self._fast.at_boundary()
         return self._eng.sync_point()
 
     def mark(self) -> int:
@@ -204,7 +232,19 @@ class Inflate:
         flush: InflateFlush = InflateFlush.NO_FLUSH,
     ) -> tuple[Status, int, bytes]:
         """One z_stream pump step: returns (status, input_consumed, output)."""
-        eng = self._eng
+        if (
+            self._fast is None
+            and self._fast_ok
+            and self._eng.total_in == 0
+            and self._eng.total_out == 0
+            and flush in (
+                InflateFlush.NO_FLUSH, InflateFlush.SYNC_FLUSH, InflateFlush.FINISH
+            )
+        ):
+            from . import faststream
+
+            self._fast = faststream.FastInflateEngine(self.config)
+        eng = self._fast if self._fast is not None else self._eng
         rc, consumed, out = eng.inflate(input, out_budget, flush)
         if rc == ReturnCode.StreamEnd:
             self._finished = True
@@ -222,8 +262,25 @@ class Inflate:
         clone.config = self.config
         clone._eng = self._eng.copy()
         clone._finished = self._finished
+        clone._fast_ok = self._fast_ok
+        clone._fast = self._fast.copy() if self._fast is not None else None
         return clone
 
     def reset(self) -> None:
         self._eng.reset()
         self._finished = False
+        self._fast = None
+        self._fast_ok = _fast_eligible(self.config)
+
+
+def _fast_eligible(config: InflateConfig) -> bool:
+    import os
+
+    if os.environ.get("ZRS_NATIVE_STREAM") == "0":
+        return False
+    try:
+        from . import faststream
+
+        return faststream.eligible(config)
+    except Exception:
+        return False

@@ -127,6 +127,31 @@ def _load():
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
             ctypes.c_int, ctypes.POINTER(ctypes.c_size_t),
         ]
+        lib.zrs_istream_new.restype = ctypes.c_void_p
+        lib.zrs_istream_new.argtypes = []
+        lib.zrs_istream_free.restype = None
+        lib.zrs_istream_free.argtypes = [ctypes.c_void_p]
+        lib.zrs_istream_copy.restype = ctypes.c_void_p
+        lib.zrs_istream_copy.argtypes = [ctypes.c_void_p]
+        lib.zrs_istream_set_dict.restype = None
+        lib.zrs_istream_set_dict.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ]
+        lib.zrs_istream_pump.restype = ctypes.c_long
+        lib.zrs_istream_pump.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.zrs_istream_take_tail.restype = ctypes.c_long
+        lib.zrs_istream_take_tail.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+        ]
+        lib.zrs_istream_total_out.restype = ctypes.c_uint64
+        lib.zrs_istream_total_out.argtypes = [ctypes.c_void_p]
+        lib.zrs_istream_mode.restype = ctypes.c_int
+        lib.zrs_istream_mode.argtypes = [ctypes.c_void_p]
+        lib.zrs_istream_at_boundary.restype = ctypes.c_int
+        lib.zrs_istream_at_boundary.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -316,3 +341,84 @@ def deflate_parallel(
     res = arr[:rc].tobytes()
     _outbuf_release(arr)
     return res
+
+
+class RawInflateStream:
+    """Resumable native raw-deflate decoder handle (zrs_istream_*): input at
+    any byte boundary, incremental output, deep-copyable mid-stream — the
+    fast engine under the streaming APIs (reference contract: the z_stream
+    pump, inflate.rs:2382; resumability model inflate/bitreader.rs
+    update_slice). Container framing (zlib/gzip) lives in the Python layer.
+    """
+
+    __slots__ = ("_h", "_lib", "done", "error")
+
+    def __init__(self, dictionary: bytes | None = None, _handle=None):
+        self._lib = _load()
+        if self._lib is None:
+            raise RuntimeError("native engine unavailable")
+        self._h = _handle if _handle is not None else self._lib.zrs_istream_new()
+        self.done = False
+        self.error = False
+        if dictionary:
+            self._lib.zrs_istream_set_dict(
+                self._h, bytes(dictionary), len(dictionary)
+            )
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.zrs_istream_free(h)
+            self._h = None
+
+    def copy(self) -> "RawInflateStream":
+        clone = RawInflateStream(_handle=self._lib.zrs_istream_copy(self._h))
+        clone.done = self.done
+        clone.error = self.error
+        return clone
+
+    def pump(self, data: bytes, max_out: int | None) -> tuple[bytes, bool]:
+        """Feed `data` (always fully absorbed) and return up to `max_out`
+        output bytes; (output, more_pending). Raises ValueError on corrupt
+        deflate data. After `done`, use take_tail() for trailer bytes."""
+        cap = max_out if max_out is not None else max(len(data) * 4, 1 << 16)
+        out_parts = []
+        flags = ctypes.c_int(0)
+        more = True
+        budget = cap
+        feed = bytes(data)
+        while more and (budget > 0 or max_out is None):
+            serve_cap = min(budget, 1 << 22) if max_out is not None else 1 << 22
+            arr, outp = _outbuf(serve_cap)
+            n = self._lib.zrs_istream_pump(
+                self._h, feed, len(feed), outp, serve_cap, ctypes.byref(flags)
+            )
+            feed = b""
+            if n:
+                out_parts.append(arr[:n].tobytes())
+            _outbuf_release(arr)
+            if flags.value & 2:
+                self.error = True
+                raise ValueError("invalid deflate data")
+            self.done = bool(flags.value & 1)
+            more = bool(flags.value & 4)
+            if max_out is not None:
+                budget -= n
+                break  # bounded call: one serve; pending stays in the handle
+            if n == 0 and not more:
+                break
+        return b"".join(out_parts), bool(flags.value & 4)
+
+    def take_tail(self, cap: int = 1 << 20) -> bytes:
+        arr, outp = _outbuf(cap)
+        n = self._lib.zrs_istream_take_tail(self._h, outp, cap)
+        res = arr[:n].tobytes()
+        _outbuf_release(arr)
+        return res
+
+    @property
+    def total_out(self) -> int:
+        return int(self._lib.zrs_istream_total_out(self._h))
+
+    def at_boundary(self) -> bool:
+        return bool(self._lib.zrs_istream_at_boundary(self._h))

@@ -19,12 +19,13 @@ VPU instead of translated):
     (bit offset + output span), 128 per chunk, so each (8,128) ROW's
     walkers share one chunk's Huffman tables: `take_along_axis` row
     semantics give per-chunk tables for free.
-  * Each step decodes ONE code per walker, split into a litlen phase and
-    a dist phase (a match costs two steps) so per-step bit consumption
-    is <= 28 bits and ONE 32-bit FIFO refill per step maintains the
-    window invariant (bitcnt >= 32 at decode).
-  * The 64-bit LSB-first bit window is two u32 registers; the canonical
-    MSB-first 15-bit peek is a 13-op butterfly bit-reversal.
+  * Each step decodes EITHER up to three literals OR one full match
+    (litlen + length extra + dist code + dist extra, <= 48 bits) per
+    walker. TWO 32-bit FIFO refills per step keep bitcnt >= 65 before
+    every decode, so no bit-starvation gate exists anywhere; consume()
+    is a full 0..63-bit funnel shift.
+  * The 96-bit LSB-first bit window is three u32 registers; the
+    canonical MSB-first 15-bit peek is a 13-op butterfly bit-reversal.
   * code length = 1 + sum over l of (v15 >= LIM15[l]) — 15 static-column
     compares (LIM15[l] = (first_code[l]+count[l]) << (15-l) is monotone
     in l, so the sum IS the argmin).
@@ -259,7 +260,10 @@ def _make_kernel(cap: int, K: int):
                 contrib = jnp.where(
                     (off >= 0) & (off < 32), word << lo_sh, u32(0)
                 )
-                hi_sh = jnp.clip(base + 32 - bitcnt, 1, 32)
+                # straddle: word's bit (base - bitcnt) lands at reg bit 0,
+                # i.e. contribution = word >> (base - bitcnt), base-bitcnt
+                # in 1..31 (the (>>1)>>k split keeps every shift <= 31)
+                hi_sh = jnp.clip(base - bitcnt, 1, 32)
                 contrib = contrib | jnp.where(
                     (off < 0) & (off > -32),
                     (word >> 1) >> (hi_sh - 1).astype(u32),
@@ -285,12 +289,19 @@ def _make_kernel(cap: int, K: int):
             return jnp.where(s < 32, a, b)
 
         def consume(win, n):
+            """Drop n bits (0 <= n <= 63): register swap for the >= 32
+            part, then a 0..31 funnel shift (the (<<1)<<inv split makes
+            m == 0 contribute nothing without a 32-bit shift)."""
             lo, mid, hi, bitcnt = win
-            nu = n.astype(u32)
-            inv = (31 - jnp.minimum(n, 31)).astype(u32)
-            lo = (lo >> nu) | ((mid << 1) << inv)
-            mid = (mid >> nu) | ((hi << 1) << inv)
-            hi = hi >> nu
+            big = n >= 32
+            lo = jnp.where(big, mid, lo)
+            mid = jnp.where(big, hi, mid)
+            hi = jnp.where(big, u32(0), hi)
+            m = jnp.where(big, n - 32, n).astype(u32)
+            inv = u32(31) - m
+            lo = (lo >> m) | ((mid << 1) << inv)
+            mid = (mid >> m) | ((hi << 1) << inv)
+            hi = hi >> m
             return (lo, mid, hi, bitcnt - n)
 
         def litlen_at(win, s):
@@ -537,11 +548,20 @@ def _make_expand_kernel(S_BLK: int, capw: int, OW: int):
                 kind = (tok >> 30).astype(jnp.int32)
 
                 def do_lit(p):
-                    byte_write(p, tok)
-                    return p + 1
+                    # LIT tokens carry 1..3 packed literal bytes (cnt in
+                    # bits 25:24, bytes LSB-first in bits 23:0)
+                    cnt = ((tok >> 24) & u32(0x3)).astype(jnp.int32)
+
+                    def lb(i, _):
+                        byte_write(p + i, tok >> (i.astype(u32) * 8))
+                        return 0
+
+                    lax.fori_loop(0, cnt, lb, 0)
+                    return p + cnt
 
                 def do_match(p):
-                    cover = ((tok >> 16) & u32(0x3FFF)).astype(jnp.int32)
+                    # match tokens store (length - 3) in bits 24:16
+                    cover = ((tok >> 16) & u32(0x3FFF)).astype(jnp.int32) + 3
                     dist = (tok & u32(0xFFFF)).astype(jnp.int32)
                     copy_match(p, cover, dist)
                     return p + cover

@@ -83,8 +83,8 @@ def prepare_vector_inputs(bodies, out_sizes, seeds):
     """
     B = len(bodies)
     S = len(seeds[0][0])
-    if S % 128 != 0:
-        raise ValueError(f"vector engine needs seeds %% 128 == 0, got {S}")
+    if S == 0 or S % 128 != 0:
+        raise ValueError(f"vector engine needs seeds %% 128 == 0 (> 0), got {S}")
     L = max(len(b) for b in bodies) + 16
     comp = np.zeros((B, L), np.uint8)
     sbit = np.zeros((B, S), np.int64)
@@ -210,15 +210,28 @@ def decode_chunks_vector(bodies, out_sizes, seeds, *, max_out=None,
     bad_np = np.asarray(bad).reshape(-1)[:W].reshape(B, S)
     rem_np = np.asarray(rem).reshape(-1)[:W].reshape(B, S)
     cons_np = np.asarray(cons).reshape(-1)[:W].reshape(B, S).astype(np.int64)
+    # every walker must be clean AND have drained its span exactly (rem==0
+    # guarantees full span coverage: the expansion kernel writes exactly
+    # [offs[s], offs[s+1]) driven by the tokens, and cover sums to span)
     bad_np = (bad_np != 0) | (rem_np != 0)
-    end_bits = meta["sbit"] + cons_np
-    drift = end_bits[:, :-1] != meta["sbit"][:, 1:]
-    had_span = meta["sspan"][:, :-1] > 0
-    lane_bad = bad_np.any(axis=1) | (drift & had_span).any(axis=1)
-    if lane_bad.any():
+    if bad_np.any():
         raise ValueError(
-            f"vector decode drift on lanes {np.nonzero(lane_bad)[0][:4]}"
+            f"vector decode bad/short walkers {np.argwhere(bad_np)[:4]}"
         )
+    # seam check CHAINED THROUGH zero-span walkers: each positive-span
+    # walker must land exactly on the bit offset of the NEXT positive-span
+    # walker (padded duplicate seeds are inert and must not mask drift)
+    end_bits = meta["sbit"] + cons_np
+    for k in range(B):
+        live = np.nonzero(meta["sspan"][k] > 0)[0]
+        if live.size > 1:
+            if (end_bits[k, live[:-1]] != meta["sbit"][k, live[1:]]).any():
+                raise ValueError(f"vector decode drift in chunk {k}")
+    # spans must tile [0, out_size) exactly: offsets non-decreasing and
+    # total span == out_size (zero-span walkers contribute nothing)
+    for k in range(B):
+        if int(meta["sspan"][k].sum()) != int(out_sizes[k]):
+            raise ValueError(f"vector span coverage gap in chunk {k}")
     out_np = np.ascontiguousarray(np.asarray(outw)).view("<u4").view(np.uint8)
     parts = []
     for k in range(B):
