@@ -44,7 +44,7 @@ def main():
     from zlib_rs_tpu.ops.pallas.inflate_kernel import (
         decode_streams_pallas, pack_streams_words,
     )
-    from zlib_rs_tpu.ops.pallas.inflate_ilk import decode_streams_ilk
+    from experiments.inflate_ilk import decode_streams_ilk
 
     data = load_corpus()
     NB = 16

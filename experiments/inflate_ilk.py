@@ -42,7 +42,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .inflate_kernel import (
+from zlib_rs_tpu.ops.pallas.inflate_kernel import (
     CL_CAP,
     CL_ROOT,
     D_CAP,

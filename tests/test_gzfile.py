@@ -196,3 +196,27 @@ def test_set_params_mid_file(tmp_path):
         f.set_params(9, Strategy.Default)
         f.write(DATA[len(DATA) // 2 :])
     assert gzip.decompress(p.read_bytes()) == DATA
+
+
+def test_gzfread_gzfwrite_item_semantics(tmp_path):
+    # reference: gz.rs:1029 gzfread / :1586 gzfwrite item-count semantics
+    from zlib_rs_tpu.models.gzfile import GzFile
+
+    p = tmp_path / "items.gz"
+    payload = bytes(range(256)) * 10  # 2560 bytes = 256 items of 10
+    g = GzFile(p, "wb6")
+    # only whole items are written: 2560//7 = 365 items -> 2555 bytes
+    assert g.fwrite(payload, 7, 1000) == 365
+    # size*nitems larger than data: clamps to whole items from data
+    assert g.fwrite(b"abcdefgh", 3, 5) == 2  # writes 6 of 8 bytes
+    g.close()
+
+    g = GzFile(p, "rb")
+    first = g.fread(7, 365)
+    assert first == payload[: 365 * 7]
+    rest = g.fread(4, 100)  # only 6 bytes left -> 1 full item + partial
+    assert rest == b"abcdef"
+    assert len(rest) // 4 == 1
+    assert g.fread(4, 4) == b""
+    assert g.fread(0, 9) == b"" and g.fread(9, 0) == b""
+    g.close()

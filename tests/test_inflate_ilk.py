@@ -14,7 +14,7 @@ import pytest
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
-from zlib_rs_tpu.ops.pallas.inflate_ilk import decode_streams_ilk  # noqa: E402
+from experiments.inflate_ilk import decode_streams_ilk  # noqa: E402
 from zlib_rs_tpu.ops.pallas.inflate_kernel import pack_streams_words  # noqa: E402
 
 TEXT = (

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from zlib_rs_tpu.parallel.device_inflate import resolve_tokens
 from zlib_rs_tpu.parallel.inflate import decompress_chunks
-from zlib_rs_tpu.parallel.turbo_inflate import decode_regions_turbo
+from experiments.turbo_inflate import decode_regions_turbo
 
 TESTDATA = "/root/reference/test-libz-rs-sys/src/test-data/"
 

@@ -260,7 +260,33 @@ class GzFile:
                 break
         return bytes(out)
 
+    def fread(self, size: int, nitems: int) -> bytes:
+        """gzfread (reference: gz.rs:1029): read up to size*nitems bytes.
+        Mirrors C fread semantics — the return's length // size is the
+        complete-item count; a trailing partial item's bytes ARE consumed
+        from the file and returned (the caller decides what to do with the
+        short tail), exactly like the reference which reads len = size*n
+        bytes and reports len/size items."""
+        if size == 0 or nitems == 0:
+            return b""
+        if size * nitems // nitems != size:  # overflow guard (gz.rs:1043)
+            self._set_err(ReturnCode.StreamError, "request does not fit in a size_t")
+        return self.read(size * nitems)
+
     # -- write path ----------------------------------------------------------
+
+    def fwrite(self, data: bytes, size: int, nitems: int) -> int:
+        """gzfwrite (reference: gz.rs:1586): write size*nitems bytes from
+        `data`; returns the number of COMPLETE items written. Writing less
+        than size*nitems available bytes writes only whole items."""
+        if size == 0 or nitems == 0:
+            return 0
+        if size * nitems // nitems != size:
+            self._set_err(ReturnCode.StreamError, "request does not fit in a size_t")
+        items = min(nitems, len(data) // size)
+        if items:
+            self.write(bytes(data[: items * size]))
+        return items
 
     def write(self, data: bytes) -> int:
         if self.mode not in ("w", "a"):

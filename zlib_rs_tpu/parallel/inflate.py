@@ -359,13 +359,14 @@ def decompress_chunks(
 ) -> list[bytes]:
     """Decode B independent byte-aligned multi-block regions on device.
 
-    Round 2: two device engines —
-      * "turbo" (parallel/turbo_inflate.py): position-parallel Huffman
-        decode, one pass per deflate block (the fast path);
-      * "lockstep" (parallel/device_inflate.py): per-symbol state machine
-        (the exact reference path, and the fallback when a region exceeds
-        turbo's block budget).
-    engine="auto" tries turbo and falls back per-batch on bad lanes.
+    Device engines —
+      * "kernel" (ops/pallas/inflate_kernel.py): the production Pallas
+        sequential decoder;
+      * "lockstep" (parallel/device_inflate.py): per-symbol XLA state
+        machine (the exact reference path and final fallback);
+      * "turbo" (experiments/turbo_inflate.py): demoted position-parallel
+        prototype, kept runnable for comparison only.
+    engine="auto" tries kernel then falls back to lockstep on bad lanes.
     Bodies may be compress_parallel chunk bodies, whole gzip members, or
     zran regions of foreign streams. `windows` supplies optional 32 KiB
     history per region (zran priming); `start_bits` lets a region begin at
@@ -376,7 +377,6 @@ def decompress_chunks(
     compiled executables.
     """
     from . import device_inflate as DI
-    from . import turbo_inflate as TI
 
     if not bodies:
         return []
@@ -455,18 +455,19 @@ def decompress_chunks(
             _note_fallback("region_kernel", e)
 
     tk = ta = tb = None
-    if engine in ("auto", "turbo"):
-        # block budget: zlib-family encoders emit ~one block per 16K
-        # symbols (>= 16K output bytes); generous slack for stored runs
+    if engine == "turbo":
+        # demoted engine (experiments/turbo_inflate.py, ~0.07 MB/s/chip,
+        # superseded by the Pallas kernel + vector engines): available
+        # explicitly for comparison runs, no longer part of "auto"
+        from experiments import turbo_inflate as TI
+
         max_blocks = max(8, max_out // 16384 + 8)
         tk, ta, tb, _produced, bad, _blk = TI.decode_regions_turbo(
             cj, sbj, ebj, tgj, max_blocks=max_blocks, max_out=max_out,
         )
         if bool(np.asarray(bad).any()):
-            if engine == "turbo":
-                which = int(np.flatnonzero(np.asarray(bad))[0])
-                raise ValueError(f"region {which} failed to decode on device")
-            tk = None  # fall back to the exact lockstep engine
+            which = int(np.flatnonzero(np.asarray(bad))[0])
+            raise ValueError(f"region {which} failed to decode on device")
     if tk is None:
         # step budget: one output byte per literal plus per-block header slack
         max_steps = max_out + 2 + 512 * max(1, max(len(b) for b in bodies) // 4096)

@@ -1,6 +1,6 @@
 """Swarm device inflate: seed-parallel exact Huffman decode on TPU.
 
-The turbo engine (turbo_inflate.py) breaks DEFLATE's serial bit dependency
+The turbo prototype (experiments/turbo_inflate.py, demoted r4) breaks DEFLATE's serial bit dependency
 by decoding at EVERY bit position and composing a jump table — ~22 random
 accesses per compressed BIT, which the measured ~10ns/element TPU gather
 cost turns into ~0.07 MB/s/chip. This engine removes the speculation
