@@ -508,6 +508,14 @@ struct ChunkDeflater {
   size_t prev_start = 0;
   bool match_available = false;
 
+  // resumable scan cursor (streaming pumps pause/resume here; the one-shot
+  // path runs the same loops to completion, so the bit-exact oracle tests
+  // cover both)
+  size_t spos = 0;
+  uint32_t sh = 0;
+  bool shv = false;
+  bool started = false;
+
   ChunkDeflater(const uint8_t* dict, size_t dlen, const uint8_t* in, size_t len,
                 int lvl, std::vector<uint8_t>& o)
       : base(nullptr), dict_len(dlen), n(len), level(lvl),
@@ -752,111 +760,120 @@ struct ChunkDeflater {
     block_start = block_end;
   }
 
-  // greedy loop, levels 1-3 (zlib deflate_fast)
-  void run_fast(size_t total) {
-    const LevelCfg& cfg = LEVELS[level];
-    size_t pos = dict_len > 0 ? dict_len : 0;
+  void start_scan() {
+    if (started) return;
+    started = true;
+    spos = dict_len;
     // dictionary pre-insertion (positions 0..dict_len-3; position 0 stays
     // NIL-invisible because head/prev value 0 reads as empty)
     insert_dict();
-    uint32_t h = 0;
-    bool hv = false;
-    while (pos < total) {
+  }
+
+  // greedy loop, levels 1-3 (zlib deflate_fast). Processes positions
+  // < `limit` with clamps against `total` (streaming NO_FLUSH passes
+  // limit = total - MIN_LOOKAHEAD + 1 so decisions never depend on how
+  // much input has arrived; flush passes limit = total).
+  void run_fast(size_t limit, size_t total) {
+    const LevelCfg& cfg = LEVELS[level];
+    start_scan();
+    while (spos < limit) {
       int hash_head = 0;
-      if (pos + MIN_MATCH <= total) {
-        if (!hv) { h = hash3(base + pos); hv = true; }
-        insert_h(pos, h);
-        hash_head = (int)chain_prev(pos);
+      if (spos + MIN_MATCH <= total) {
+        if (!shv) { sh = hash3(base + spos); shv = true; }
+        insert_h(spos, sh);
+        hash_head = (int)chain_prev(spos);
       }
       int ml = 0, mdist = 0;
-      if (hash_head > 0 && (long)pos - hash_head <= MAX_DIST_N)
-        ml = longest(pos, total, hash_head, MIN_MATCH - 1, mdist);
+      if (hash_head > 0 && (long)spos - hash_head <= MAX_DIST_N)
+        ml = longest(spos, total, hash_head, MIN_MATCH - 1, mdist);
       if (ml >= MIN_MATCH && mdist > 0) {
         syms[ns++] = {(uint16_t)mdist, (uint16_t)ml};
-        size_t end = pos + (size_t)ml;
+        size_t end = spos + (size_t)ml;
         if ((size_t)ml <= (size_t)cfg.lazy && total - end >= MIN_MATCH) {
-          uint32_t h2 = h;  // hash at pos; interiors roll from it
-          for (size_t p2 = pos + 1; p2 < end; p2++) {
+          uint32_t h2 = sh;  // hash at spos; interiors roll from it
+          for (size_t p2 = spos + 1; p2 < end; p2++) {
             h2 = roll_h(h2, p2);
             insert_h(p2, h2);
           }
         }
         // a match longer than max_insert_length skips insertion entirely
-        pos = end;
-        hv = false;
+        spos = end;
+        shv = false;
       } else {
-        syms[ns++] = {0, base[pos]};
-        pos++;
-        if (hv) {
-          if (pos + MIN_MATCH <= total) h = roll_h(h, pos);
-          else hv = false;
+        syms[ns++] = {0, base[spos]};
+        spos++;
+        if (shv) {
+          if (spos + MIN_MATCH <= total) sh = roll_h(sh, spos);
+          else shv = false;
         }
       }
-      if (ns >= SYM_END_N) flush_block(false, pos);
+      if (ns >= SYM_END_N) flush_block(false, spos);
     }
   }
 
-  // lazy loop, levels 4-9 (zlib deflate_slow)
-  void run_slow(size_t total) {
+  // lazy loop, levels 4-9 (zlib deflate_slow); same limit/total contract
+  void run_slow(size_t limit, size_t total) {
     const LevelCfg& cfg = LEVELS[level];
-    size_t pos = dict_len > 0 ? dict_len : 0;
-    insert_dict();
-    uint32_t h = 0;
-    bool hv = false;
-    while (pos < total) {
+    start_scan();
+    while (spos < limit) {
       int hash_head = 0;
-      if (pos + MIN_MATCH <= total) {
-        if (!hv) { h = hash3(base + pos); hv = true; }
-        insert_h(pos, h);
-        hash_head = (int)chain_prev(pos);
+      if (spos + MIN_MATCH <= total) {
+        if (!shv) { sh = hash3(base + spos); shv = true; }
+        insert_h(spos, sh);
+        hash_head = (int)chain_prev(spos);
       }
       prev_length = match_length;
       prev_start = match_start;
       match_length = MIN_MATCH - 1;
       if (hash_head > 0 && prev_length < cfg.lazy &&
-          (long)pos - hash_head <= MAX_DIST_N) {
+          (long)spos - hash_head <= MAX_DIST_N) {
         int mdist = 0;
-        int ml = longest(pos, total, hash_head, prev_length, mdist);
+        int ml = longest(spos, total, hash_head, prev_length, mdist);
         match_length = ml;
-        if (mdist > 0) match_start = pos - mdist;
+        if (mdist > 0) match_start = spos - mdist;
         if (match_length <= 5 &&
-            (match_length == MIN_MATCH && pos - match_start > TOO_FAR_N))
+            (match_length == MIN_MATCH && spos - match_start > TOO_FAR_N))
           match_length = MIN_MATCH - 1;
       }
       if (prev_length >= MIN_MATCH && match_length <= prev_length) {
-        // deferred match at pos-1 wins; insert covered positions
-        // pos+1 .. pos+prev_length-2 (the next current position is
+        // deferred match at spos-1 wins; insert covered positions
+        // spos+1 .. spos+prev_length-2 (the next current position is
         // inserted at its own scan step)
-        syms[ns++] = {(uint16_t)(pos - 1 - prev_start), (uint16_t)prev_length};
-        size_t end_ins = pos + (size_t)prev_length - 1;  // exclusive
-        uint32_t h2 = h;  // hash at pos (hv is true: a match implies one)
-        for (size_t p2 = pos + 1; p2 < end_ins; p2++) {
+        syms[ns++] = {(uint16_t)(spos - 1 - prev_start), (uint16_t)prev_length};
+        size_t end_ins = spos + (size_t)prev_length - 1;  // exclusive
+        uint32_t h2 = sh;  // hash at spos (shv is true: a match implies one)
+        for (size_t p2 = spos + 1; p2 < end_ins; p2++) {
           if (p2 + MIN_MATCH > total) break;
           h2 = roll_h(h2, p2);
           insert_h(p2, h2);
         }
-        pos = pos + prev_length - 1;
-        hv = false;
+        spos = spos + prev_length - 1;
+        shv = false;
         match_available = false;
         match_length = MIN_MATCH - 1;
-        if (ns >= SYM_END_N) flush_block(false, pos);
+        if (ns >= SYM_END_N) flush_block(false, spos);
       } else if (match_available) {
-        syms[ns++] = {0, base[pos - 1]};
-        if (ns >= SYM_END_N) flush_block(false, pos);
-        pos++;
-        if (hv) {
-          if (pos + MIN_MATCH <= total) h = roll_h(h, pos);
-          else hv = false;
+        syms[ns++] = {0, base[spos - 1]};
+        if (ns >= SYM_END_N) flush_block(false, spos);
+        spos++;
+        if (shv) {
+          if (spos + MIN_MATCH <= total) sh = roll_h(sh, spos);
+          else shv = false;
         }
       } else {
         match_available = true;
-        pos++;
-        if (hv) {
-          if (pos + MIN_MATCH <= total) h = roll_h(h, pos);
-          else hv = false;
+        spos++;
+        if (shv) {
+          if (spos + MIN_MATCH <= total) sh = roll_h(sh, spos);
+          else shv = false;
         }
       }
     }
+  }
+
+  // zlib's deflate_slow end-of-stream step: the deferred literal at the
+  // last position is emitted only when a flush/finish drains the scan
+  void emit_trailing_literal(size_t total) {
     if (match_available) {
       syms[ns++] = {0, base[total - 1]};
       match_available = false;
@@ -955,8 +972,8 @@ struct ChunkDeflater {
       return;
     }
 
-    if (LEVELS[level].slow) run_slow(total);
-    else run_fast(total);
+    if (LEVELS[level].slow) { run_slow(total, total); emit_trailing_literal(total); }
+    else run_fast(total, total);
 
     if (final_flag) {
       flush_block(true, total);
@@ -1638,6 +1655,150 @@ long find_candidate(const uint8_t* in, size_t nin, uint64_t from_bit,
 // persistent state is just (mode, tables, stored_left, last, bit_off).
 // ---------------------------------------------------------------------------
 
+// Resumable streaming deflate: wraps the bit-exact ChunkDeflater scan loops
+// (which are themselves pause/resume-capable via the spos/sh/shv cursor)
+// with a growing input buffer, window pruning with position rebase, and
+// zlib's pump/flush contract (reference: deflate.rs:2470 deflate();
+// NO_FLUSH processes only positions with >= MIN_LOOKAHEAD of lookahead —
+// zlib's need_more rule — so output is byte-identical regardless of feed
+// boundaries; SYNC/FULL/FINISH drain with tail clamping).
+struct DefStream {
+  std::vector<uint8_t> data;  // scan buffer (pruned prefix removed)
+  std::vector<uint8_t> out;   // compressed output accumulator
+  ChunkDeflater d;
+  int level;
+  bool finished = false;
+  size_t served = 0;  // bytes of `out` handed to the caller
+  // zlib's `insert` field: tail positions (<= 2) of a flush drain that
+  // could not be hashed (lookahead < MIN_MATCH) and enter the hash chain
+  // retroactively once more input arrives (fill_window, deflate.rs:1811-1827)
+  size_t insert_pending = 0;
+
+  explicit DefStream(int lvl)
+      : d(nullptr, 0, nullptr, 0, lvl, out), level(lvl) {}
+
+  void retro_insert() {
+    size_t total = data.size();
+    size_t lookahead = total - d.spos;
+    if (insert_pending == 0 || lookahead + insert_pending < (size_t)MIN_MATCH)
+      return;
+    size_t str = d.spos - insert_pending;
+    while (insert_pending) {
+      d.insert(str);
+      str++;
+      insert_pending--;
+      if (lookahead + insert_pending < (size_t)MIN_MATCH) break;
+    }
+  }
+
+  void prune() {
+    if (!d.started) return;
+    // keep the match window (limit = spos - MAX_DIST_N > spos - WSIZE) and
+    // the unflushed block bytes (stored emission reads base + block_start)
+    size_t keep = d.spos > (size_t)WSIZE ? d.spos - WSIZE : 0;
+    keep = std::min(keep, d.block_start);
+    if (keep < (1u << 20)) return;  // amortize the memmove
+    data.erase(data.begin(), data.begin() + (long)keep);
+    d.spos -= keep;
+    d.block_start -= keep;
+    d.match_start = d.match_start > keep ? d.match_start - keep : 0;
+    d.prev_start = d.prev_start > keep ? d.prev_start - keep : 0;
+    for (auto& hv : d.head)
+      hv = hv > (int32_t)keep ? hv - (int32_t)keep : 0;  // slide_hash role
+    // prevd stores deltas: rebase-free by construction
+  }
+
+  // flush: 0 none, 2 sync, 3 full, 4 finish (config.DeflateFlush values).
+  // Returns committed output bytes available, or -2 on misuse.
+  long pump(const uint8_t* in, size_t nin, int flush) {
+    if (finished || level < 1 || level > 9) return -2;
+    if (nin) data.insert(data.end(), in, in + nin);
+    d.base = data.data();
+    d.start_scan();
+    retro_insert();
+    size_t total = data.size();
+    bool flushing = flush != 0;
+    size_t limit =
+        flushing ? total
+                 : (total >= (size_t)MIN_LOOKAHEAD
+                        ? total - (size_t)(MIN_LOOKAHEAD - 1) : 0);
+    if (LEVELS[level].slow) d.run_slow(limit, total);
+    else d.run_fast(limit, total);
+    if (flushing) {
+      if (LEVELS[level].slow) d.emit_trailing_literal(total);
+      // zlib records the <= 2 unhashed tail positions at every flush
+      // drain (slow.rs:149 / fast.rs:98)
+      insert_pending = std::min<size_t>(d.spos, MIN_MATCH - 1);
+      if (flush == 4) {  // FINISH
+        d.flush_block(true, total);
+        d.bw.align();
+        finished = true;
+      } else {
+        if (d.ns != 0 || d.block_start < total) d.flush_block(false, total);
+        // sync seam: byte-align with an empty stored block
+        d.bw.put(0, 1); d.bw.put(0, 2); d.bw.align();
+        d.bw.byte(0x00); d.bw.byte(0x00); d.bw.byte(0xff); d.bw.byte(0xff);
+        if (flush == 3) {
+          // FULL_FLUSH: CLEAR_HASH + (lookahead == 0 at a drain) window
+          // restart — matches stop at the seam (deflate.rs:513-520)
+          std::fill(d.head.begin(), d.head.end(), 0);
+          data.clear();
+          d.spos = 0;
+          d.block_start = 0;
+          d.shv = false;
+          insert_pending = 0;
+        }
+      }
+    }
+    prune();
+    return (long)(d.bw.wpos - served);
+  }
+
+  long read(uint8_t* buf, size_t cap) {
+    size_t take = std::min(d.bw.wpos - served, cap);
+    if (take) std::memcpy(buf, out.data() + served, take);
+    served += take;
+    if (served > (1u << 20)) {
+      out.erase(out.begin(), out.begin() + (long)served);
+      d.bw.wpos -= served;
+      served = 0;
+    }
+    return (long)take;
+  }
+
+  DefStream* clone() const {
+    DefStream* c = new DefStream(level);
+    c->data = data;
+    c->out = out;
+    c->served = served;
+    c->finished = finished;
+    c->insert_pending = insert_pending;
+    ChunkDeflater& a = c->d;
+    const ChunkDeflater& b = d;
+    a.dict_len = b.dict_len;
+    a.n = b.n;
+    a.head = b.head;
+    a.prevd = b.prevd;
+    a.syms = b.syms;
+    a.ns = b.ns;
+    a.block_start = b.block_start;
+    a.match_length = b.match_length;
+    a.match_start = b.match_start;
+    a.prev_length = b.prev_length;
+    a.prev_start = b.prev_start;
+    a.match_available = b.match_available;
+    a.spos = b.spos;
+    a.sh = b.sh;
+    a.shv = b.shv;
+    a.started = b.started;
+    a.bw.buf = b.bw.buf;
+    a.bw.cnt = b.bw.cnt;
+    a.bw.wpos = b.bw.wpos;
+    a.base = c->data.data();
+    return c;
+  }
+};
+
 struct InfStream {
   std::vector<uint8_t> inbuf;   // unconsumed input bytes
   int bit_off = 0;              // consumed bits of inbuf[0]
@@ -1930,6 +2091,24 @@ int zrs_istream_mode(void* s) { return ((InfStream*)s)->mode; }
 int zrs_istream_at_boundary(void* sv) {
   InfStream* s = (InfStream*)sv;
   return s->mode == 0 && s->bit_off == 0 && s->inbuf.empty();
+}
+
+// -- resumable streaming deflate handles ------------------------------------
+
+void* zrs_dstream_new(int level) { return new DefStream(level); }
+
+void zrs_dstream_free(void* s) { delete (DefStream*)s; }
+
+void* zrs_dstream_copy(void* s) { return ((DefStream*)s)->clone(); }
+
+// feed input under a flush mode (0 none / 2 sync / 3 full / 4 finish);
+// returns committed output bytes now available via zrs_dstream_read
+long zrs_dstream_pump(void* s, const uint8_t* in, size_t nin, int flush) {
+  return ((DefStream*)s)->pump(in, nin, flush);
+}
+
+long zrs_dstream_read(void* s, uint8_t* out, size_t cap) {
+  return ((DefStream*)s)->read(out, cap);
 }
 
 // zran index build: decode the whole raw stream once, recording access

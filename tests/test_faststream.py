@@ -190,3 +190,93 @@ def test_fast_stream_matches_exact_engine_output():
         assert not (sf == Status.StreamEnd) ^ (sp == Status.StreamEnd) or True
     assert bytes(out_f) == bytes(out_p) == DATA
     assert fast.total_out == pure.total_out
+
+
+# ---------------------------------------------------------------------------
+# streaming deflate fast path
+# ---------------------------------------------------------------------------
+
+def test_fast_deflate_matches_zlib_streaming():
+    from zlib_rs_tpu.config import DeflateConfig, DeflateFlush
+    from zlib_rs_tpu.models.stream import Deflate
+
+    FL = {
+        DeflateFlush.NO_FLUSH: zlib.Z_NO_FLUSH,
+        DeflateFlush.SYNC_FLUSH: zlib.Z_SYNC_FLUSH,
+        DeflateFlush.FULL_FLUSH: zlib.Z_FULL_FLUSH,
+    }
+    for level in (1, 4, 6, 9):
+        for trial in range(3):
+            data = DATA[: random.randrange(500, len(DATA))]
+            script = []
+            left = len(data)
+            while left > 0:
+                nb = min(left, random.randrange(1, 30000))
+                fl = (
+                    random.choice(
+                        [DeflateFlush.NO_FLUSH] * 4
+                        + [DeflateFlush.SYNC_FLUSH, DeflateFlush.FULL_FLUSH]
+                    )
+                    if left > nb
+                    else DeflateFlush.FINISH
+                )
+                script.append((nb, fl))
+                left -= nb
+            d = Deflate(DeflateConfig(level=level))
+            co = zlib.compressobj(level)
+            ours = bytearray()
+            ref = bytearray()
+            pos = 0
+            for nb, fl in script:
+                chunk = data[pos : pos + nb]
+                pos += nb
+                _s, _c, out = d.compress(chunk, fl)
+                ours.extend(out)
+                ref.extend(co.compress(chunk))
+                if fl == DeflateFlush.FINISH:
+                    ref.extend(co.flush(zlib.Z_FINISH))
+                elif fl != DeflateFlush.NO_FLUSH:
+                    ref.extend(co.flush(FL[fl]))
+            assert d._fast is not None, "fast deflate did not engage"
+            assert bytes(ours) == bytes(ref), (level, trial)
+            assert d.total_in == len(data)
+
+
+def test_fast_deflate_gzip_container():
+    import gzip as _gzip
+
+    from zlib_rs_tpu.config import DeflateConfig, DeflateFlush
+    from zlib_rs_tpu.models.stream import Deflate
+
+    d = Deflate(DeflateConfig(level=6, window_bits=31))
+    _s, _c, a = d.compress(DATA, DeflateFlush.FINISH)
+    assert d._fast is not None
+    assert _gzip.decompress(a) == DATA
+    # byte-identical to the exact engine's gzip stream
+    import os
+
+    os.environ["ZRS_NATIVE_STREAM"] = "0"
+    try:
+        p = Deflate(DeflateConfig(level=6, window_bits=31))
+    finally:
+        os.environ.pop("ZRS_NATIVE_STREAM", None)
+    _s, _c, b = p.compress(DATA, DeflateFlush.FINISH)
+    assert p._fast is None
+    assert a == b
+
+
+def test_fast_deflate_copy_and_deopt():
+    from zlib_rs_tpu.config import DeflateConfig, DeflateFlush, Strategy
+    from zlib_rs_tpu.models.stream import Deflate
+
+    d = Deflate(DeflateConfig(level=6))
+    d.compress(DATA[:10000])
+    assert d._fast is not None
+    c = d.copy()
+    _, _, o1 = d.compress(DATA[10000:], DeflateFlush.FINISH)
+    _, _, o2 = c.compress(DATA[10000:], DeflateFlush.FINISH)
+    assert o1 == o2
+    # non-default strategy stays on the exact engine
+    d2 = Deflate(DeflateConfig(level=6, strategy=Strategy.Rle))
+    d2.compress(DATA[:1000], DeflateFlush.FINISH)
+    assert d2._fast is None

@@ -356,3 +356,155 @@ class FastInflateEngine:
                 self._raw = native.RawInflateStream()
                 self._state = self._BODY
                 return taken
+
+
+# ---------------------------------------------------------------------------
+# Streaming deflate fast path
+# ---------------------------------------------------------------------------
+
+def deflate_eligible(config) -> bool:
+    """The native streaming compressor reproduces zlib byte-for-byte only
+    for the default-strategy levels 1-9 at memLevel 8 with a 32 KiB window
+    (the hardcoded configuration of native/zrs_native.cpp ChunkDeflater);
+    everything else stays on the exact Python engine."""
+    from ..config import Strategy, decode_window_bits_deflate
+
+    if not native.available():
+        return False
+    level = 6 if config.level == -1 else config.level
+    if not (1 <= level <= 9):
+        return False
+    if config.strategy != Strategy.Default:
+        return False
+    if config.mem_level != 8:
+        return False
+    wrap, wbits = decode_window_bits_deflate(config.window_bits)
+    return wbits == 15
+
+
+class FastDeflateEngine:
+    """Container-aware native streaming compressor: byte-identical to the
+    exact Deflator (and therefore to zlib) for NO_FLUSH / SYNC_FLUSH /
+    FULL_FLUSH / FINISH pump scripts. Implements the Deflator pump subset
+    models/stream.py Deflate and gzfile.py use: deflate() + take_output()
+    + pending + totals + copy()."""
+
+    def __init__(self, config):
+        from ..config import DeflateFlush, Wrap, decode_window_bits_deflate
+
+        self._Flush = DeflateFlush
+        self.config = config
+        self.level = 6 if config.level == -1 else config.level
+        wrap, wbits = decode_window_bits_deflate(config.window_bits)
+        self.wrap = wrap
+        self.wbits = wbits
+        self._raw = native.RawDeflateStream(self.level)
+        self.pending = bytearray()
+        self.total_in = 0
+        self.total_out = 0
+        self.data_type = 2  # unknown (the native engine doesn't classify)
+        self.finished = False
+        self._header_emitted = False
+        self.adler = 1
+        self.crc = 0
+
+    # -- container ----------------------------------------------------------
+
+    def _emit_header(self) -> None:
+        from ..config import Wrap
+
+        if self.wrap == Wrap.Zlib:
+            # mirrors models/deflate.py _emit_header (reference deflate.rs
+            # header()) for the no-dictionary case
+            cinfo = self.wbits - 8
+            if self.level < 2:
+                flevel = 0
+            elif self.level < 6:
+                flevel = 1
+            elif self.level == 6:
+                flevel = 2
+            else:
+                flevel = 3
+            cmf = (cinfo << 4) | 8
+            flg = flevel << 6
+            rem = (cmf * 256 + flg) % 31
+            if rem:
+                flg += 31 - rem
+            self.pending.extend(bytes([cmf, flg]))
+        elif self.wrap == Wrap.Gzip:
+            xfl = 2 if self.level == 9 else (4 if self.level < 2 else 0)
+            hdr = bytearray([0x1F, 0x8B, 8, 0])
+            hdr.extend(b"\x00\x00\x00\x00")  # mtime 0 (no gz_header set)
+            hdr.append(xfl)
+            hdr.append(3)  # OS: unix, like zlib with no header struct
+            self.pending.extend(hdr)
+        self._header_emitted = True
+
+    # -- the pump (Deflator-compatible subset) ------------------------------
+
+    def deflate(self, data: bytes, flush) -> "ReturnCode":
+        from ..config import Wrap
+
+        F = self._Flush
+        if self.finished:
+            if data:
+                return ReturnCode.StreamError
+            return ReturnCode.StreamEnd
+        if flush not in (F.NO_FLUSH, F.SYNC_FLUSH, F.FULL_FLUSH, F.FINISH):
+            return ReturnCode.StreamError  # caller de-opts before engaging
+        data = bytes(data)
+        if not self._header_emitted:
+            self._emit_header()
+        if data:
+            self.total_in += len(data)
+            if self.wrap == Wrap.Zlib:
+                self.adler = native.adler32(data, self.adler)
+            elif self.wrap == Wrap.Gzip:
+                self.crc = native.crc32(data, self.crc)
+        fl = {F.NO_FLUSH: 0, F.SYNC_FLUSH: 2, F.FULL_FLUSH: 3, F.FINISH: 4}[flush]
+        self.pending.extend(self._raw.pump(data, fl))
+        if flush == F.FINISH:
+            if self.wrap == Wrap.Zlib:
+                self.pending.extend(self.adler.to_bytes(4, "big"))
+            elif self.wrap == Wrap.Gzip:
+                self.pending.extend(self.crc.to_bytes(4, "little"))
+                self.pending.extend(
+                    (self.total_in & 0xFFFFFFFF).to_bytes(4, "little")
+                )
+            self.finished = True
+            return ReturnCode.StreamEnd
+        return ReturnCode.Ok
+
+    def take_output(self, budget: int | None = None) -> bytes:
+        if budget is None or budget >= len(self.pending):
+            out = bytes(self.pending)
+            self.pending.clear()
+        else:
+            out = bytes(self.pending[:budget])
+            del self.pending[:budget]
+        self.total_out += len(out)
+        return out
+
+    def copy(self) -> "FastDeflateEngine":
+        clone = object.__new__(FastDeflateEngine)
+        clone.__dict__ = dict(self.__dict__)
+        clone.pending = bytearray(self.pending)
+        clone._raw = self._raw.copy()
+        return clone
+
+    def params(self, level: int, strategy=None) -> "ReturnCode":
+        """deflateParams subset for the gz write path (gzsetparams,
+        gz.rs:788 role): the caller has already sync-flushed, so swapping
+        the raw handle at the byte-aligned seam yields a valid stream.
+        Unlike zlib the fresh handle starts with an empty match window
+        (slightly worse ratio for the next 32 KiB); non-default strategies
+        and level 0 are not supported here — callers keep the exact engine
+        for those."""
+        from ..config import Strategy
+
+        if strategy not in (None, Strategy.Default) or not (1 <= level <= 9):
+            return ReturnCode.StreamError
+        if level != self.level:
+            self.level = level
+            self._raw = native.RawDeflateStream(level)
+        return ReturnCode.Ok

@@ -422,3 +422,69 @@ class RawInflateStream:
 
     def at_boundary(self) -> bool:
         return bool(self._lib.zrs_istream_at_boundary(self._h))
+
+
+def _bind_dstream(lib):
+    if getattr(lib, "_dstream_bound", False):
+        return
+    lib.zrs_dstream_new.restype = ctypes.c_void_p
+    lib.zrs_dstream_new.argtypes = [ctypes.c_int]
+    lib.zrs_dstream_free.restype = None
+    lib.zrs_dstream_free.argtypes = [ctypes.c_void_p]
+    lib.zrs_dstream_copy.restype = ctypes.c_void_p
+    lib.zrs_dstream_copy.argtypes = [ctypes.c_void_p]
+    lib.zrs_dstream_pump.restype = ctypes.c_long
+    lib.zrs_dstream_pump.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+    ]
+    lib.zrs_dstream_read.restype = ctypes.c_long
+    lib.zrs_dstream_read.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+    ]
+    lib._dstream_bound = True
+
+
+class RawDeflateStream:
+    """Resumable native raw-deflate compressor handle (zrs_dstream_*):
+    byte-identical to zlib for every pump/flush script at levels 1-9 (the
+    ChunkDeflater scan loops are pause/resume-capable; zlib's need_more
+    lookahead rule, fill_window retro-insertion, and FULL_FLUSH window
+    restart are reproduced — reference: deflate.rs:2470 deflate(),
+    :1811-1827 fill_window, slow.rs:149 insert)."""
+
+    __slots__ = ("_h", "_lib", "finished")
+
+    def __init__(self, level: int = 6, _handle=None):
+        self._lib = _load()
+        if self._lib is None:
+            raise RuntimeError("native engine unavailable")
+        _bind_dstream(self._lib)
+        self._h = _handle if _handle is not None else self._lib.zrs_dstream_new(level)
+        self.finished = False
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.zrs_dstream_free(h)
+            self._h = None
+
+    def copy(self) -> "RawDeflateStream":
+        clone = RawDeflateStream(_handle=self._lib.zrs_dstream_copy(self._h))
+        clone.finished = self.finished
+        return clone
+
+    def pump(self, data: bytes, flush: int) -> bytes:
+        """Feed data under flush (0 none / 2 sync / 3 full / 4 finish);
+        returns all output that became available."""
+        avail = self._lib.zrs_dstream_pump(self._h, bytes(data), len(data), flush)
+        if avail < 0:
+            raise RuntimeError("native deflate stream misuse")
+        if flush == 4:
+            self.finished = True
+        if not avail:
+            return b""
+        arr, outp = _outbuf(avail)
+        n = self._lib.zrs_dstream_read(self._h, outp, avail)
+        res = arr[:n].tobytes()
+        _outbuf_release(arr)
+        return res
