@@ -193,6 +193,19 @@ def bench_native(data: bytes, zstreams: dict) -> dict:
         "gbps": round(n / tq / 1e9, 4),
         "ratio_vs_zlib1": round(len(q) / (len(zstreams[1]) - 6), 4),
     }
+    # MEDIUM mode (zlib-ng's deflate_medium class, medium.rs:12-331):
+    # ratio measured against the SAME-NUMBER zlib level
+    out["medium"] = {}
+    for mlvl, zl in ((native.MEDIUM4, 4), (native.MEDIUM5, 5), (native.MEDIUM6, 6)):
+        m = native.deflate_chunk(data, level=mlvl, final=True)
+        assert zlib.decompress(m, -15) == data
+        tm = _time_best(
+            lambda lv=mlvl: native.deflate_chunk(data, level=lv, final=True), reps=2
+        )
+        out["medium"][str(zl)] = {
+            "gbps": round(n / tm / 1e9, 4),
+            "ratio_vs_zlib": round(len(m) / (len(zstreams[zl]) - 6), 4),
+        }
 
     raw6 = native.deflate_chunk(data, level=LEVEL, final=True)
     t = _time_best(lambda: native.inflate_raw(raw6, n))

@@ -480,8 +480,11 @@ struct QuickTab {
 };
 const QuickTab QUICK_TAB;
 
-// level 10 selects the QUICK fast mode (not a zlib level)
+// level 10 selects the QUICK fast mode (not a zlib level); 11-13 select the
+// MEDIUM mode (zlib-ng's deflate_medium algorithm class, medium.rs:12-331)
+// with the knob rows of zlib levels 4/5/6
 constexpr int QUICK_LEVEL = 10;
+constexpr int MEDIUM_BASE = 11;  // 11 -> level-4 knobs, 12 -> 5, 13 -> 6
 
 struct ChunkDeflater {
   const uint8_t* base;   // window position 0 (dict start when priming)
@@ -516,6 +519,16 @@ struct ChunkDeflater {
   bool shv = false;
   bool started = false;
 
+  // MEDIUM mode carry state: the pre-found next match (medium.rs Match)
+  size_t med_next_start = 0, med_next_strstart = 0, med_next_orgstart = 0;
+  int med_next_len = 0;
+  int klevel;  // knob row in LEVELS (== level for 0-9)
+  // MEDIUM's own 4-byte-hash chain tables (the reference's StandardHashCalc
+  // role, hash_calc.rs:25-82): with WANT_MIN == 4 a 3-byte hash drowns the
+  // walk in length-3 collisions — measured 6.5 -> ~20+ MB/s from this alone
+  std::vector<int32_t> head4;
+  std::vector<uint16_t> prevd4;
+
   ChunkDeflater(const uint8_t* dict, size_t dlen, const uint8_t* in, size_t len,
                 int lvl, std::vector<uint8_t>& o)
       : base(nullptr), dict_len(dlen), n(len), level(lvl),
@@ -525,6 +538,12 @@ struct ChunkDeflater {
     base = in - dlen;
     (void)dict;
     block_start = dict_len;
+    // knob row: MEDIUM levels 11-13 use the level-5/6/7 search rows — one
+    // deeper than their zlib-level counterpart; measured Pareto point
+    // (medium-4 at row 5: 1.002x zlib-4 size at ~2.8x exact-L6 speed)
+    klevel = lvl >= MEDIUM_BASE && lvl <= MEDIUM_BASE + 2 ? lvl - MEDIUM_BASE + 5
+             : lvl >= 0 && lvl <= 9                       ? lvl
+                                                          : 6;
   }
 
   // NIL == position 0: base[0] plays zlib's window offset 0 and is never a
@@ -583,7 +602,7 @@ struct ChunkDeflater {
   // zlib's anchored 4-byte pre-reject (tail pair + head pair), which can
   // only skip candidates that cannot beat best_len — outcome-neutral.
   int longest(size_t pos, size_t total, int cur, int prev_len, int& best_dist) {
-    const LevelCfg& cfg = LEVELS[level];
+    const LevelCfg& cfg = LEVELS[klevel];
     int lookahead = (int)(total - pos);
     int chain = cfg.chain;
     int best_len = prev_len;
@@ -774,7 +793,7 @@ struct ChunkDeflater {
   // limit = total - MIN_LOOKAHEAD + 1 so decisions never depend on how
   // much input has arrived; flush passes limit = total).
   void run_fast(size_t limit, size_t total) {
-    const LevelCfg& cfg = LEVELS[level];
+    const LevelCfg& cfg = LEVELS[klevel];
     start_scan();
     while (spos < limit) {
       int hash_head = 0;
@@ -813,7 +832,7 @@ struct ChunkDeflater {
 
   // lazy loop, levels 4-9 (zlib deflate_slow); same limit/total contract
   void run_slow(size_t limit, size_t total) {
-    const LevelCfg& cfg = LEVELS[level];
+    const LevelCfg& cfg = LEVELS[klevel];
     start_scan();
     while (spos < limit) {
       int hash_head = 0;
@@ -880,6 +899,246 @@ struct ChunkDeflater {
     }
   }
 
+  // -- MEDIUM mode (levels 11-13): zlib-ng's deflate_medium algorithm
+  // class, re-implemented on this engine's hash/match machinery —
+  // current + one-lookahead match with insert caps and overlap trimming
+  // (reference decisions: medium.rs:12-331; Match :182, insert_match
+  // :211, fizzle_matches :264). WANT_MIN(4) replaces MIN_MATCH(3) as the
+  // emit threshold. NOT byte-parity with zlib or zlib-ng (different hash
+  // family); the bit-exact levels 1-9 remain the oracle anchor.
+  static constexpr int WANT_MIN = 4;
+
+  struct MedMatch {
+    size_t start;     // match source position
+    size_t strstart;  // match destination position
+    size_t orgstart;  // original destination (insert bookkeeping)
+    int length;
+  };
+
+  inline uint32_t hash4(const uint8_t* p) const {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return (v * 2654435761u) >> 16;  // Knuth multiplicative, 16-bit index
+  }
+
+  inline void insert4(size_t pos) {
+    uint32_t h = hash4(base + pos);
+    long dlt = (long)pos - head4[h];
+    prevd4[pos & (WSIZE - 1)] = (uint16_t)std::min<long>(dlt, 0xffff);
+    head4[h] = (int32_t)pos;
+  }
+
+  inline long chain_prev4(size_t pos) const {
+    long dlt = prevd4[pos & (WSIZE - 1)];
+    return dlt ? (long)pos - dlt : 0;
+  }
+
+  inline void insert_range(size_t p, size_t count, size_t total) {
+    for (size_t i = 0; i < count && p + i + 4 <= total; i++)
+      insert4(p + i);
+  }
+
+  // medium's chain walk over the 4-byte-hash tables; returns the best
+  // length >= WANT_MIN (0 when none), best_dist set accordingly. Same
+  // budget/nice/anchored-reject decisions as longest() (the reference
+  // shares longest_match between slow and medium; longest_match.rs:38-80).
+  int longest4(size_t pos, size_t total, int cur, int& best_dist) {
+    const LevelCfg& cfg = LEVELS[klevel];
+    int lookahead = (int)(total - pos);
+    int chain = cfg.chain;
+    int best_len = WANT_MIN - 1;
+    int nice = cfg.nice;
+    if (nice > lookahead) nice = lookahead;
+    long limit = (long)pos - MAX_DIST_N;
+    if (limit < 0) limit = 0;
+    best_dist = 0;
+    if (pos + MAX_MATCH <= total) {
+      const uint8_t* here = base + pos;
+      uint16_t scan_end = load16(here + best_len - 1);
+      uint16_t scan_start = load16(here);
+      for (;;) {
+        const uint8_t* cand = base + cur;
+        long next_cur = (long)cur - prevd4[cur & (WSIZE - 1)];
+        __builtin_prefetch(&prevd4[next_cur & (WSIZE - 1)]);
+        if (load16(cand + best_len - 1) == scan_end &&
+            load16(cand) == scan_start) {
+          int ml = match_len_fast(here, cand, MAX_MATCH);
+          if (ml > best_len) {
+            best_len = ml;
+            best_dist = (int)((long)pos - cur);
+            if (ml >= nice) break;
+            scan_end = load16(here + best_len - 1);
+          }
+        }
+        if (next_cur >= cur) break;
+        cur = (int)next_cur;
+        if (cur <= limit) break;
+        if (--chain == 0) break;
+      }
+    } else {
+      for (;;) {
+        int ml = match_len_z(pos, (size_t)cur, total);
+        if (ml > best_len) {
+          best_len = ml;
+          best_dist = (int)((long)pos - cur);
+          if (ml >= nice) break;
+        }
+        long next_cur = chain_prev4((size_t)cur);
+        if (next_cur <= limit || next_cur >= cur) break;
+        cur = (int)next_cur;
+        if (--chain == 0) break;
+      }
+    }
+    if (!best_dist) return 0;
+    return best_len <= lookahead ? best_len : lookahead;
+  }
+
+  void med_insert_match(MedMatch m, size_t total) {
+    const LevelCfg& cfg = LEVELS[klevel];
+    if (total - m.strstart <= (size_t)m.length + (size_t)WANT_MIN) return;
+    if (m.length < WANT_MIN) {  // literal run: hash the covered tail
+      m.strstart += 1;
+      m.length -= 1;
+      if (m.length > 0 && m.strstart >= m.orgstart) {
+        size_t cnt = m.strstart + (size_t)m.length > m.orgstart
+                         ? (size_t)m.length
+                         : m.orgstart - m.strstart + 1;
+        insert_range(m.strstart, cnt, total);
+      }
+      return;
+    }
+    // insert interiors only when the match is not huge (medium.rs:224)
+    if ((size_t)m.length <= 16u * (size_t)cfg.lazy &&
+        total - m.strstart >= (size_t)WANT_MIN) {
+      m.length -= 1;  // string at strstart already in table
+      m.strstart += 1;
+      if (m.strstart >= m.orgstart) {
+        size_t cnt = m.strstart + (size_t)m.length > m.orgstart
+                         ? (size_t)m.length
+                         : m.orgstart - m.strstart + 1;
+        insert_range(m.strstart, cnt, total);
+      } else if (m.orgstart < m.strstart + (size_t)m.length) {
+        insert_range(m.orgstart, m.strstart + (size_t)m.length - m.orgstart,
+                     total);
+      }
+    } else {  // jump: only hash the position just before the landing spot
+      m.strstart += (size_t)m.length;
+      m.length = 0;
+      if (m.strstart >= 1 && m.strstart - 1 + 4 <= total)
+        insert4(m.strstart - 1);
+    }
+  }
+
+  void med_fizzle(MedMatch& cur, MedMatch& nm) {
+    // try to extend the next match backwards, shrinking the current one
+    if (cur.length <= 1) return;
+    if ((size_t)cur.length > 1 + nm.start) return;
+    if ((size_t)cur.length > 1 + nm.strstart) return;
+    if (base[nm.start - cur.length + 1] != base[nm.strstart - cur.length + 1])
+      return;
+    size_t limit = nm.strstart > (size_t)MAX_DIST_N
+                       ? nm.strstart - (size_t)MAX_DIST_N : 0;
+    MedMatch c = cur, n = nm;
+    size_t mi = n.start, oi = n.strstart;
+    int changed = 0;
+    while (mi >= 1 && oi >= 1 && base[mi - 1] == base[oi - 1]) {
+      if (c.length < 1) break;
+      if (n.strstart <= limit) break;
+      if (n.length >= 256) break;
+      if (n.start <= 1) break;
+      n.strstart--;
+      n.start--;
+      n.length++;
+      c.length--;
+      mi--;
+      oi--;
+      changed++;
+    }
+    if (!changed) return;
+    if (c.length <= 1 && n.length != 2) {
+      n.orgstart += 1;
+      cur = c;
+      nm = n;
+    }
+  }
+
+  void run_medium(size_t limit, size_t total) {
+    const bool early_exit = klevel < 5;
+    if (head4.empty()) {
+      head4.assign(1 << 16, 0);
+      prevd4.assign(WSIZE, 0);
+    }
+    if (!started) {
+      started = true;
+      spos = dict_len;
+      if (dict_len >= 4)  // medium's dictionary priming uses its own hash
+        for (size_t i = 0; i + 4 <= dict_len; i++) insert4(i);
+    }
+    while (spos < limit) {
+      MedMatch cur;
+      if (!early_exit && med_next_len > 0) {
+        cur = {med_next_start, med_next_strstart, med_next_orgstart,
+               med_next_len};
+        med_next_len = 0;
+      } else {
+        long hash_head = 0;
+        if (spos + 4 <= total) {
+          insert4(spos);
+          hash_head = chain_prev4(spos);
+        }
+        cur = {0, spos, spos, 1};
+        if (hash_head > 0 && (long)spos - hash_head <= MAX_DIST_N) {
+          int mdist = 0;
+          int ml = longest4(spos, total, (int)hash_head, mdist);
+          if (mdist > 0 && ml >= WANT_MIN) {
+            cur.start = spos - (size_t)mdist;
+            cur.length = ml;
+          }
+          if (cur.start >= cur.strstart) cur.length = 1;
+        }
+      }
+      med_insert_match(cur, total);
+
+      // look one match ahead (medium.rs:115) and trim overlap
+      if (!early_exit && total - cur.strstart > (size_t)MIN_LOOKAHEAD) {
+        size_t nxt = cur.strstart + (size_t)cur.length;
+        long hh = 0;
+        if (nxt + 4 <= total) {
+          insert4(nxt);
+          hh = chain_prev4(nxt);
+        }
+        MedMatch nm{0, nxt, nxt, 1};
+        if (hh > 0 && (long)nxt - hh <= MAX_DIST_N) {
+          int mdist = 0;
+          int ml = longest4(nxt, total, (int)hh, mdist);
+          if (mdist > 0 && ml >= WANT_MIN) {
+            nm.start = nxt - (size_t)mdist;
+            nm.length = ml;
+          }
+          if (nm.start >= nm.strstart) nm.length = 1;
+          if (nm.length >= WANT_MIN) med_fizzle(cur, nm);
+        }
+        med_next_start = nm.start;
+        med_next_strstart = nm.strstart;
+        med_next_orgstart = nm.orgstart;
+        med_next_len = nm.length;
+      } else {
+        med_next_len = 0;
+      }
+
+      // emit the current match (medium.rs emit_match)
+      if (cur.length < WANT_MIN) {
+        for (int i = 0; i < cur.length; i++)
+          syms[ns++] = {0, base[cur.strstart + (size_t)i]};
+      } else {
+        syms[ns++] = {(uint16_t)(cur.strstart - cur.start),
+                      (uint16_t)cur.length};
+      }
+      spos = cur.strstart + (size_t)cur.length;
+      if (ns >= SYM_END_N - 4) flush_block(false, spos);
+    }
+  }
+
   // QUICK fast mode (the zlib-ng deflate_quick architecture,
   // quick.rs:12-158 behavior class, implemented our way): one STATIC
   // block, a single hash probe per position, no lazy deferral, no symbol
@@ -888,22 +1147,28 @@ struct ChunkDeflater {
   // little ratio for ~2x+ speed over the bit-exact level-1 engine; NOT
   // oracle-identical output (opt-in via level == QUICK_LEVEL).
   void run_quick(size_t total, bool last) {
-    insert_dict();
+    // QUICK probes its own 4-byte Knuth-hash table (the reference quick
+    // mode's dedicated hash, hash_calc.rs StandardHashCalc role): far
+    // fewer collisions than the 3-byte rolling hash at a single-probe
+    // budget — measured both faster and smaller output
+    if (head4.empty()) {
+      head4.assign(1 << 16, 0);
+      prevd4.assign(WSIZE, 0);
+    }
+    if (dict_len >= 4)
+      for (size_t i = 0; i + 4 <= dict_len; i++) insert4(i);
     bw.put((1u << 1) + (last ? 1 : 0), 3);
     size_t pos = dict_len;
-    uint32_t h = 0;
-    bool hv = false;
     while (pos < total) {
-      if (pos + MIN_MATCH <= total) {
-        if (!hv) { h = hash3(base + pos); hv = true; }
-        insert_h(pos, h);
-        long cand = chain_prev(pos);
+      if (pos + 4 <= total) {
+        insert4(pos);
+        long cand = chain_prev4(pos);
         if (cand > 0 && (long)pos - cand <= MAX_DIST_N) {
           int ml = (pos + MAX_MATCH <= total)
                        ? match_len_fast(base + pos, base + cand, MAX_MATCH)
                        : match_len_z((size_t)cand, pos, total);
           if (ml > (int)(total - pos)) ml = (int)(total - pos);  // lookahead
-          if (ml >= MIN_MATCH) {
+          if (ml >= 4) {  // static-tree cost rule: reference quick emits >= WANT_MIN only
             int dist = (int)((long)pos - cand);
             int dcode = dist_to_code(dist);
             uint64_t dfused =
@@ -916,7 +1181,6 @@ struct ChunkDeflater {
                          | (dfused << QUICK_TAB.ltn[v]),
                      QUICK_TAB.ltn[v] + dn);
             pos += (size_t)ml;
-            hv = false;  // jump: recompute at the next probe
             continue;
           }
         }
@@ -924,10 +1188,6 @@ struct ChunkDeflater {
       uint8_t c = base[pos];
       bw.put64(STATIC_TREES.llc[c], STATIC_TREES.lll[c]);
       pos++;
-      if (hv) {
-        if (pos + MIN_MATCH <= total) h = roll_h(h, pos);
-        else hv = false;
-      }
     }
     bw.put64(STATIC_TREES.llc[256], STATIC_TREES.lll[256]);  // EOB
   }
@@ -972,7 +1232,8 @@ struct ChunkDeflater {
       return;
     }
 
-    if (LEVELS[level].slow) { run_slow(total, total); emit_trailing_literal(total); }
+    if (level >= MEDIUM_BASE && level <= MEDIUM_BASE + 2) run_medium(total, total);
+    else if (LEVELS[level].slow) { run_slow(total, total); emit_trailing_literal(total); }
     else run_fast(total, total);
 
     if (final_flag) {
@@ -1705,13 +1966,21 @@ struct DefStream {
     d.prev_start = d.prev_start > keep ? d.prev_start - keep : 0;
     for (auto& hv : d.head)
       hv = hv > (int32_t)keep ? hv - (int32_t)keep : 0;  // slide_hash role
-    // prevd stores deltas: rebase-free by construction
+    for (auto& hv : d.head4)
+      hv = hv > (int32_t)keep ? hv - (int32_t)keep : 0;
+    d.med_next_start = d.med_next_start > keep ? d.med_next_start - keep : 0;
+    d.med_next_strstart =
+        d.med_next_strstart > keep ? d.med_next_strstart - keep : 0;
+    d.med_next_orgstart =
+        d.med_next_orgstart > keep ? d.med_next_orgstart - keep : 0;
+    // prevd/prevd4 store deltas: rebase-free by construction
   }
 
   // flush: 0 none, 2 sync, 3 full, 4 finish (config.DeflateFlush values).
   // Returns committed output bytes available, or -2 on misuse.
   long pump(const uint8_t* in, size_t nin, int flush) {
-    if (finished || level < 1 || level > 9) return -2;
+    bool medium = level >= MEDIUM_BASE && level <= MEDIUM_BASE + 2;
+    if (finished || (!medium && (level < 1 || level > 9))) return -2;
     if (nin) data.insert(data.end(), in, in + nin);
     d.base = data.data();
     d.start_scan();
@@ -1722,10 +1991,11 @@ struct DefStream {
         flushing ? total
                  : (total >= (size_t)MIN_LOOKAHEAD
                         ? total - (size_t)(MIN_LOOKAHEAD - 1) : 0);
-    if (LEVELS[level].slow) d.run_slow(limit, total);
+    if (medium) d.run_medium(limit, total);
+    else if (LEVELS[level].slow) d.run_slow(limit, total);
     else d.run_fast(limit, total);
     if (flushing) {
-      if (LEVELS[level].slow) d.emit_trailing_literal(total);
+      if (!medium && LEVELS[level].slow) d.emit_trailing_literal(total);
       // zlib records the <= 2 unhashed tail positions at every flush
       // drain (slow.rs:149 / fast.rs:98)
       insert_pending = std::min<size_t>(d.spos, MIN_MATCH - 1);
@@ -1791,6 +2061,12 @@ struct DefStream {
     a.sh = b.sh;
     a.shv = b.shv;
     a.started = b.started;
+    a.med_next_start = b.med_next_start;
+    a.med_next_strstart = b.med_next_strstart;
+    a.med_next_orgstart = b.med_next_orgstart;
+    a.med_next_len = b.med_next_len;
+    a.head4 = b.head4;
+    a.prevd4 = b.prevd4;
     a.bw.buf = b.bw.buf;
     a.bw.cnt = b.bw.cnt;
     a.bw.wpos = b.bw.wpos;
@@ -2011,7 +2287,9 @@ long zrs_deflate_chunk(const uint8_t* dict, size_t dict_len, const uint8_t* in,
                        size_t n, int level, int final_flag, uint8_t* out_buf,
                        size_t out_cap) {
   if (level < 0) level = 6;
-  if (level > 9 && level != QUICK_LEVEL) level = 9;
+  if (level > 9 && level != QUICK_LEVEL &&
+      !(level >= MEDIUM_BASE && level <= MEDIUM_BASE + 2))
+    level = 9;
   std::vector<uint8_t> out;
   out.reserve(n / 2 + 1024);
   std::vector<uint8_t> merged;

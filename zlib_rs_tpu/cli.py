@@ -43,6 +43,11 @@ def _build_parser() -> argparse.ArgumentParser:
              "(~2x zlib -1 speed at a worse ratio; valid DEFLATE output)",
     )
     p.add_argument(
+        "--medium", action="store_true",
+        help="native MEDIUM mode (zlib-ng deflate_medium class): 2-3x the "
+             "bit-exact scan speed at ~0-2%% ratio cost; honors --level 4-6",
+    )
+    p.add_argument(
         "--format", choices=("gzip", "zlib", "raw"), default="gzip",
         help="container format (default gzip)",
     )
@@ -104,6 +109,17 @@ def _compress(data: bytes, args) -> bytes:
             nthreads=args.threads,
         )
         return _wrap_raw(raw, data, args.format, 1)
+    if getattr(args, "medium", False):
+        from . import native as _n
+
+        if not _n.available():
+            raise SystemExit("--medium needs the native engine")
+        mlvl = _n.MEDIUM_BASE + min(max(level, 4), 6) - 4
+        raw = _n.deflate_parallel(
+            data, level=mlvl, chunk_size=args.chunk or 128 * 1024,
+            nthreads=args.threads,
+        )
+        return _wrap_raw(raw, data, args.format, level)
     wbits = _wbits_for(args.format, False)
     engine = args.engine
     if engine == "auto":
