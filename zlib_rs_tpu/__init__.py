@@ -83,6 +83,18 @@ def __getattr__(name):
         from .models import zran
 
         return getattr(zran, name)
+    if name == "compress_medium":
+        from .models.medium import compress_medium
+
+        return compress_medium
+    if name in ("DeviceInflateState", "device_decode_step", "device_decode_streaming"):
+        from .parallel import checkpoint
+
+        return {
+            "DeviceInflateState": checkpoint.DeviceInflateState,
+            "device_decode_step": checkpoint.decode_step,
+            "device_decode_streaming": checkpoint.decode_streaming,
+        }[name]
     if name == "native":
         import importlib
 

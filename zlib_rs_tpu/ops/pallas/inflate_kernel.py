@@ -767,11 +767,11 @@ def _kernel_body(
 
     # ---- block loop --------------------------------------------------------
     def blk_cond(st):
-        bp, op, b, done = st
+        bp, op, b, done, _fin = st
         return ~(b | done)
 
     def blk_body(st):
-        bp, op, b, done = st
+        bp, op, b, done, fin_seen = st
         w = peek32(bp)
         final = (w & _U1).astype(jnp.int32)
         btype = ((w >> _U1) & jnp.uint32(3)).astype(jnp.int32)
@@ -803,7 +803,7 @@ def _kernel_body(
         done = (final > 0) | ((out_len >= 0) & (op >= out_len)) | (
             bp >= comp_bits
         )
-        return bp, op, b, done
+        return bp, op, b, done, fin_seen | ((final > 0) & ~b)
 
     # zran-style window priming: pre-copy the window words into the output
     # head so back-references into history resolve naturally; the region's
@@ -816,24 +816,31 @@ def _kernel_body(
 
     lax.fori_loop(0, nwin, wcp, 0)
 
-    bitpos, outpos, bad, _done = lax.while_loop(
+    bitpos, outpos, bad, _done, fin_seen = lax.while_loop(
         blk_cond, blk_body,
-        (start_bit, nwin << 2, jnp.bool_(False), jnp.bool_(False)),
+        (start_bit, nwin << 2, jnp.bool_(False), jnp.bool_(False),
+         jnp.bool_(False)),
     )
-    bad = bad | ((out_len >= 0) & (outpos != out_len))
+    # meta[5] = stop mode: 0 -> out_len is an exact-length assertion;
+    # 1 -> out_len is a checkpoint TARGET (stop at the first block boundary
+    # at or after it; overshoot within max_out is fine) — the device-side
+    # streaming snapshot contract (SURVEY §5 checkpoint row; the TPU
+    # analogue of inflateCopy/inflatePrime, inflate.rs:2547/2165)
+    at_target = meta_ref[0, 0, 5] != 0
+    bad = bad | ((out_len >= 0) & (outpos != out_len) & ~at_target)
     st_ref[0, 0, 0] = outpos - (nwin << 2)
     st_ref[0, 0, 1] = bad.astype(jnp.int32)
     st_ref[0, 0, 2] = bitpos
-    st_ref[0, 0, 3] = 0
+    st_ref[0, 0, 3] = fin_seen.astype(jnp.int32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_out", "interpret", "one_level")
+    jax.jit, static_argnames=("max_out", "interpret", "one_level", "stop_at_target")
 )
 def decode_streams_pallas(
     words, start_bits, comp_bits, out_lens, *,
     max_out: int, interpret: bool = False, one_level: bool | None = None,
-    win=None,
+    win=None, stop_at_target: bool = False,
 ):
     """Decode B raw-deflate streams, each fully in-SMEM on its grid step.
 
@@ -879,10 +886,12 @@ def decode_streams_pallas(
             jnp.where(ol >= 0, ol + wpad, ol),
             jnp.full((B,), max_out + wpad, jnp.int32),
             jnp.full((B,), wpad // 4, jnp.int32),
+            # stop mode: out_len as checkpoint target vs exact assertion
+            jnp.full((B,), 1 if stop_at_target else 0, jnp.int32),
         ],
         axis=1,
     )
-    meta = jnp.pad(meta, ((0, 0), (0, 3))).reshape(B, 1, 8)
+    meta = jnp.pad(meta, ((0, 0), (0, 2))).reshape(B, 1, 8)
     words3 = words.reshape(B, 1, W)
     clord = jnp.asarray(
         [16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15]
@@ -925,6 +934,9 @@ def decode_streams_pallas(
     produced = st[:, 0, 0]
     bad = st[:, 0, 1] > 0
     end_bit = st[:, 0, 2]
+    if stop_at_target:
+        fin_seen = st[:, 0, 3] > 0
+        return out_b, produced, bad, end_bit, fin_seen
     return out_b, produced, bad, end_bit
 
 

@@ -289,7 +289,7 @@ def _crc_batch_best(full: np.ndarray):
 
 def make_sharded_encode_step(
     mesh: Mesh, *, chunk_size: int, dict_size: int = 0, dynamic: bool = True,
-    gather: bool = True, **knobs
+    gather: bool = True, kernel_scan: bool = False, kernel_cfg=None, **knobs
 ):
     """The multi-host encode step as an explicit shard_map program.
 
@@ -314,7 +314,19 @@ def make_sharded_encode_step(
     """
 
     def local(chunks, n_valid, finals, valid_from):
-        if dynamic:
+        if kernel_scan:
+            # the SHIPPING kernel engine under shard_map (VERDICT r3 item
+            # 7): SMEM scan + freq/pack kernels per device shard, the same
+            # _encode_batch path compress_parallel dispatches on chip
+            words, bits, ll, dl, _sb, _so = _encode_batch(
+                chunks, n_valid, finals, valid_from,
+                chunk_size=chunk_size, dynamic=True, dict_size=dict_size,
+                kernel_scan=True, kernel_cfg=kernel_cfg,
+                chain_depth=knobs.get("chain_depth", 12),
+                max_words=knobs.get("max_words", 32),
+                lazy=knobs.get("lazy", True),
+            )
+        elif dynamic:
             def one(chunk, nv, vf):
                 return dynhuff.encode_chunk_dynamic(
                     chunk, nv, start=dict_size, valid_from=vf, **knobs
