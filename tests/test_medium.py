@@ -81,3 +81,30 @@ def test_medium_parallel_chunks():
     data = (CASES["binary"] + CASES["text"]) * 2
     out = native.deflate_parallel(data, level=native.MEDIUM6, chunk_size=64 * 1024)
     assert zlib.decompress(out, -15) == data
+
+
+# ---------------------------------------------------------------------------
+# host QUICK mirror (reference deflate_quick class, quick.rs:12-158)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_host_native_quick_identical(name):
+    from zlib_rs_tpu.models.medium import compress_quick
+
+    data = CASES[name]
+    a = compress_quick(data, final=True)
+    b = native.deflate_chunk(data, level=native.QUICK, final=True)
+    assert zlib.decompress(b, -15) == data
+    assert a == b
+
+
+def test_host_quick_nonfinal_seam():
+    from zlib_rs_tpu.models.medium import compress_quick
+
+    data = CASES["text"]
+    a = compress_quick(data, final=False)
+    b = native.deflate_chunk(data, level=native.QUICK, final=False)
+    assert a == b
+    # decodes as a valid region ending on the sync seam
+    d = zlib.decompressobj(-15)
+    assert d.decompress(a) == data

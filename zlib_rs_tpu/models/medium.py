@@ -245,3 +245,78 @@ def compress_medium(data: bytes, level: int = 6) -> bytes:
     if level not in _KNOBS:
         raise ValueError("medium level must be 4, 5, or 6")
     return _Medium(bytes(data), _KNOBS[level]).run()
+
+
+# ---------------------------------------------------------------------------
+# Host mirror of the native QUICK mode (the reference deflate_quick class,
+# quick.rs:12-158: one static-tree block, a single 4-byte-hash probe per
+# position, matches >= 4 emitted inside the scan loop, match interiors
+# never inserted). Byte-identical to native.deflate_chunk(level=QUICK).
+# ---------------------------------------------------------------------------
+
+from .trees import STATIC_LL_LEN, STATIC_LL_CODE, STATIC_D_LEN, STATIC_D_CODE
+from ..ops import huffman as _H
+
+
+def compress_quick(data: bytes, final: bool = True) -> bytes:
+    data = bytes(data)
+    total = len(data)
+    out = bytearray()
+    bw = BitWriter(out)
+    head4 = [0] * (1 << 16)
+    prevd4 = [0] * WSIZE
+
+    def hash4(pos):
+        v = int.from_bytes(data[pos : pos + 4], "little")
+        return ((v * 2654435761) & 0xFFFFFFFF) >> 16
+
+    bw.send_bits((1 << 1) + (1 if final else 0), 3)
+    pos = 0
+    while pos < total:
+        if pos + 4 <= total:
+            h = hash4(pos)
+            delta = pos - head4[h]
+            prevd4[pos & (WSIZE - 1)] = min(delta, 0xFFFF)
+            head4[h] = pos
+            d = prevd4[pos & (WSIZE - 1)]
+            cand = pos - d if d else 0
+            if cand > 0 and pos - cand <= MAX_DIST:
+                ml = 0
+                while ml < MAX_MATCH:
+                    a = data[pos + ml] if pos + ml < total else 0
+                    b = data[cand + ml] if cand + ml < total else 0
+                    if a != b:
+                        break
+                    ml += 1
+                ml = min(ml, total - pos)
+                if ml >= 4:
+                    dist = pos - cand
+                    lc = int(_H.LENGTH_CODE[ml - MIN_MATCH])
+                    sym = 257 + lc
+                    bw.send_bits(int(STATIC_LL_CODE[sym]), int(STATIC_LL_LEN[sym]))
+                    lbase = int(_H.LENGTH_BASE[lc])
+                    lext = int(_H.LENGTH_EXTRA[lc])
+                    if lext:
+                        bw.send_bits(ml - lbase, lext)
+                    dd = dist - 1
+                    dc = int(
+                        _H.DIST_CODE[dd] if dd < 256 else _H.DIST_CODE[256 + (dd >> 7)]
+                    )
+                    bw.send_bits(int(STATIC_D_CODE[dc]), int(STATIC_D_LEN[dc]))
+                    dext = int(_H.DIST_EXTRA[dc])
+                    if dext:
+                        bw.send_bits(dist - int(_H.DIST_BASE[dc]), dext)
+                    pos += ml
+                    continue
+        c = data[pos]
+        bw.send_bits(int(STATIC_LL_CODE[c]), int(STATIC_LL_LEN[c]))
+        pos += 1
+    bw.send_bits(int(STATIC_LL_CODE[256]), int(STATIC_LL_LEN[256]))
+    if final:
+        bw.align()
+    else:
+        # sync seam: empty stored block, byte aligned
+        bw.send_bits(0, 3)
+        bw.align()
+        out.extend(b"\x00\x00\xff\xff")
+    return bytes(out)

@@ -67,7 +67,8 @@ from ...parallel.device_inflate import (
 )
 
 # token kinds in the packed tape (2 bits)
-# LIT3: bits[25:24] = byte count 1..3, bits[23:0] = packed literal bytes
+# LIT: bits[25:24] = byte count - 1 (so 1..3), bits[23:0] = literal bytes
+#      LSB-first
 # MATCH: bits[24:16] = length - 3 (0..255), bits[15:0] = distance
 VTOK_NULL = 0
 VTOK_LIT = 1
@@ -403,7 +404,7 @@ def _make_kernel(cap: int, K: int):
             packed = jnp.where(
                 emit_lit,
                 (u32(VTOK_LIT) << 30)
-                | (cnt.astype(u32) << 24)
+                | ((cnt - 1).astype(u32) << 24)
                 | litreg.astype(u32),
                 jnp.where(
                     emit_match,
@@ -472,10 +473,16 @@ def _make_expand_kernel(S_BLK: int, capw: int, OW: int):
     writes their output spans into the chunk's SMEM word buffer, which
     stays resident across inner steps (matches may reference any earlier
     byte of the same chunk — chunks are independent, so there is no
-    cross-chunk window). Word-RMW byte stores and the dist<4 overlap
-    handling follow ops/pallas/inflate_kernel.py's writer (itself the TPU
-    re-design of the reference's Writer::copy_match,
-    /root/reference/zlib-rs/src/inflate/writer.rs:106+).
+    cross-chunk window).
+
+    Structure follows the chip-proven issue-bound cost model
+    (STATUS.md): a walker's tokens are contiguous (NULLs only pad the
+    tail), so literals run in a SPRINT loop that funnels 1..3 packed
+    bytes per token through a word REGISTER (one SMEM store per output
+    word, no per-byte RMW and no per-token lax.cond); the match path
+    pays its cond once per match and reuses the word-copy scheme of
+    ops/pallas/inflate_kernel.py's writer (the TPU re-design of the
+    reference's Writer::copy_match, inflate/writer.rs:106+).
     """
     u32 = jnp.uint32
 
@@ -538,43 +545,90 @@ def _make_expand_kernel(S_BLK: int, capw: int, OW: int):
             p0 = offs_ref[0, 0, s]
             p1 = offs_ref[0, 0, s + 1]
 
-            def cond(st):
+            def outer_cond(st):
                 t, p = st
                 return (t < capw) & (p < p1)
 
-            def step(st):
+            def outer(st):
                 t, p = st
-                tok = tape_ref[0, k, t]
-                kind = (tok >> 30).astype(jnp.int32)
 
-                def do_lit(p):
-                    # LIT tokens carry 1..3 packed literal bytes (cnt in
-                    # bits 25:24, bytes LSB-first in bits 23:0)
-                    cnt = ((tok >> 24) & u32(0x3)).astype(jnp.int32)
+                # ---- literal sprint: word-register funnel ----------------
+                # reg holds the partial output word at p (low (p&3)*8 bits
+                # are committed bytes); each LIT token ORs 1..4 bytes in
+                # and stores exactly when the word boundary is crossed.
+                reg0 = out_ref[0, 0, p >> 2] & (
+                    (u32(1) << ((p & 3) << 3).astype(u32)) - u32(1)
+                )
 
-                    def lb(i, _):
-                        byte_write(p + i, tok >> (i.astype(u32) * 8))
-                        return 0
+                def s_cond(sst):
+                    t, p, _reg, tok = sst
+                    return (t < capw) & (p < p1) & ((tok >> 30) == u32(VTOK_LIT))
 
-                    lax.fori_loop(0, cnt, lb, 0)
-                    return p + cnt
+                def apply_lit(p, reg, tok):
+                    """Funnel 1..3 bytes of a LIT token into the register;
+                    returns (p2, reg2, word_to_store, store_idx). Pure ALU
+                    (no branches): the store is unconditional — bytes
+                    above the cursor are don't-care (readers only touch
+                    < cursor), which also dodges the predication tax."""
+                    cnt = (((tok >> 24) & u32(0x3)) + u32(1)).astype(jnp.int32)
+                    w = tok & u32(0x00FFFFFF)
+                    nbits = (cnt << 3).astype(u32)
+                    w = w & (u32(0xFFFFFFFF) >> (u32(32) - nbits))
+                    sh = ((p & 3) << 3).astype(u32)
+                    full = reg | (w << sh)
+                    spill = (w >> u32(1)) >> (u32(31) - sh)
+                    p2 = p + cnt
+                    reg2 = jnp.where((p2 >> 2) > (p >> 2), spill, full)
+                    return p2, reg2, full, p >> 2
+
+                def s_body(sst):
+                    t, p, reg, tok = sst
+                    # 2-token unroll: both next-token loads issue together
+                    # (independent SMEM loads overlap — probe_ilp), halving
+                    # the serial load->cond chain that dominates the sprint
+                    tokB = tape_ref[0, k, jnp.minimum(t + 1, capw - 1)]
+                    tokC = tape_ref[0, k, jnp.minimum(t + 2, capw - 1)]
+                    tokB = jnp.where(t + 1 < capw, tokB, u32(0))
+                    tokC = jnp.where(t + 2 < capw, tokC, u32(0))
+                    pA, regA, wordA, idxA = apply_lit(p, reg, tok)
+                    out_ref[0, 0, idxA] = wordA
+                    take_b = ((tokB >> 30) == u32(VTOK_LIT)) & (pA < p1)
+                    pB, regB, wordB, idxB = apply_lit(pA, regA, tokB)
+                    # second store only when token B applied (its word may
+                    # equal A's — ordering keeps it correct either way)
+                    out_ref[0, 0, jnp.where(take_b, idxB, idxA)] = jnp.where(
+                        take_b, wordB, wordA
+                    )
+                    p2 = jnp.where(take_b, pB, pA)
+                    reg2 = jnp.where(take_b, regB, regA)
+                    t2 = t + 1 + take_b.astype(jnp.int32)
+                    ntok = jnp.where(take_b, tokC, tokB)
+                    return (t2, p2, reg2, ntok)
+
+                tok0 = tape_ref[0, k, t]
+                t, p, reg, tok = lax.while_loop(
+                    s_cond, s_body, (t, p, reg0, tok0)
+                )
+                # flush the partial word (bytes above p are don't-care:
+                # every reader only touches bytes < the writer's cursor)
+                out_ref[0, 0, p >> 2] = reg
+
+                # ---- one match (or tail NULL) ----------------------------
+                is_match = (tok >> 30) == u32(VTOK_MATCH)
 
                 def do_match(p):
-                    # match tokens store (length - 3) in bits 24:16
                     cover = ((tok >> 16) & u32(0x3FFF)).astype(jnp.int32) + 3
                     dist = (tok & u32(0xFFFF)).astype(jnp.int32)
                     copy_match(p, cover, dist)
                     return p + cover
 
-                p = lax.cond(
-                    kind == VTOK_LIT,
-                    do_lit,
-                    lambda p: lax.cond(kind == VTOK_MATCH, do_match, lambda q: q, p),
-                    p,
-                )
-                return (t + 1, p)
+                p = lax.cond(is_match & (p < p1), do_match, lambda q: q, p)
+                # a NULL mid-span means the walker under-produced (flagged
+                # upstream by rem != 0); skip to the end to terminate
+                t = jnp.where(is_match, t + 1, capw)
+                return (t, p)
 
-            lax.while_loop(cond, step, (jnp.int32(0), p0))
+            lax.while_loop(outer_cond, outer, (jnp.int32(0), p0))
             return 0
 
         lax.fori_loop(0, S_BLK, walker, 0)
@@ -595,14 +649,14 @@ def expand_tokens_pallas(tape, offs, *, S: int, cap: int, out_words: int,
     S_BLK = 8
     grid = (B, S // S_BLK)
     offs3 = offs.reshape(B, 1, offs.shape[1])
+    tape_spec = pl.BlockSpec(
+        (1, S_BLK, cap), lambda c, w: (c, w, 0), memory_space=pltpu.SMEM
+    )
     return pl.pallas_call(
         _make_expand_kernel(S_BLK, cap, out_words),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                (1, S_BLK, cap), lambda c, w: (c, w, 0),
-                memory_space=pltpu.SMEM,
-            ),
+            tape_spec,
             pl.BlockSpec(
                 (1, 1, offs.shape[1]), lambda c, w: (c, 0, 0),
                 memory_space=pltpu.SMEM,

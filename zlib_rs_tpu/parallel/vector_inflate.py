@@ -54,14 +54,19 @@ def _stage_fifo(words_flat, start_word, chunk_of_walker, Lw, *, K: int, G: int):
 def _unpack_and_expand(tape, offs, *, B: int, S: int, cap: int,
                        out_words: int, interpret: bool):
     """tape uint32[G, cap, 8, 128] -> LE32-packed chunk bytes via the
-    in-SMEM scalar expansion kernel (the XLA pointer-doubling resolver
+    in-SMEM sprint expansion kernel (the XLA pointer-doubling resolver
     measured ~6 MB/s device-trace at real shapes: full-space gathers per
-    doubling round are the gather tax incarnate)."""
+    doubling round are the gather tax incarnate — re-confirmed by
+    experiments/probe_encode_gather.py: 0.14 G gathered elems/s)."""
     G = tape.shape[0]
-    t = tape.transpose(0, 2, 3, 1).reshape(G * WALKERS_PER_STEP, cap)
-    t = t[: B * S].reshape(B, S, cap)
+
+    def to_walker_major(x):
+        x = x.transpose(0, 2, 3, 1).reshape(G * WALKERS_PER_STEP, cap)
+        return x[: B * S].reshape(B, S, cap)
+
     return expand_tokens_pallas(
-        t, offs, S=S, cap=cap, out_words=out_words, interpret=interpret
+        to_walker_major(tape), offs,
+        S=S, cap=cap, out_words=out_words, interpret=interpret,
     )
 
 
