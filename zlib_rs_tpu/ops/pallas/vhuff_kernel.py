@@ -485,6 +485,14 @@ def _make_expand_kernel(S_BLK: int, capw: int, OW: int):
     reference's Writer::copy_match, inflate/writer.rs:106+).
     """
     u32 = jnp.uint32
+    import os
+
+    # timing-ablation hook (experiments/chip_vector_probe.py): comma-set
+    # of {match,litstore} to neuter — output becomes garbage; per-stage
+    # cost attribution is the point
+    ablate = frozenset(
+        x for x in os.environ.get("ZRS_EXPAND_ABLATE", "").split(",") if x
+    )
 
     def kernel(tape_ref, offs_ref, out_ref):
         w_blk = pl.program_id(1)
@@ -509,36 +517,49 @@ def _make_expand_kernel(S_BLK: int, capw: int, OW: int):
             return jnp.where(sh > 0, (w0 >> sh) | (w1 << (u32(32) - sh)), w0)
 
         def copy_match(p, length, dist):
-            # head: byte-copy until the write cursor is word-aligned AND
-            # the effective distance can be >= 4 (pattern periodicity: a
-            # distance that is a multiple of dist is equivalent once that
-            # many bytes exist)
-            d4 = jnp.where(dist >= 4, dist, dist * ((4 + dist - 1) // dist))
-            base = jnp.maximum(d4 - dist, 0)
-            head = base + ((-(p + base)) & 3)   # word-aligns p+head
-            head = jnp.minimum(head, length)
+            """Cond-free word-granular match copy with DON'T-CARE tails.
+
+            dist < 4 is promoted to an effective distance d4 in 4..6 by
+            first materializing base = d4 - dist pattern bytes with an
+            RMW byte loop (0 iterations for dist >= 4 — an empty fori is
+            a few ns, vs the 10-15ns a lax.cond costs per match even
+            never-taken). After that every store is a full word: bytes
+            below the cursor in the first word are preserved by one
+            merge; bytes past the match end are whatever the pattern
+            continues into — harmless, because every later reader
+            (sprint reg0, the next match's first-word merge, byte_read
+            of committed bytes) only touches bytes < the cursor.
+
+            With the branchless NULL-token call (length=0, dist=0) the
+            base loop writes 4 garbage bytes at p and the first-word
+            store one word above — all at or above the cursor p (== the
+            walker's span end p1 for valid tapes), inside the +2-word
+            output slack.
+            """
+            # d4: dist rounded into the word-copyable range (1,2,3 -> 4,4,6)
+            d4 = jnp.where(dist >= 4, dist, jnp.where(dist == 3, 6, 4))
+            base = jnp.where(dist >= 4, 0, d4 - dist)
 
             def hb(i, _):
-                byte_write(p + i, byte_read(p + i - dist))
+                byte_write(p + i, byte_read(jnp.maximum(p + i - dist, 0)))
                 return 0
 
-            lax.fori_loop(0, head, hb, 0)
-            body_len = length - head
-            pw = p + head  # word-aligned when head covered (4-(p&3))&3
-            nwords = body_len >> 2
+            lax.fori_loop(0, base, hb, 0)
+
+            pw = p + base
+            wi = pw >> 2
+            sh = ((pw & 3) << 3).astype(u32)
+            keep = out_ref[0, 0, wi] & ((u32(1) << sh) - u32(1))
+            out_ref[0, 0, wi] = keep | (src4(pw, d4) << sh)
+            last = (p + length - 1) >> 2
+            nw = last - wi  # negative for cover-0 NULL calls: loop skips
 
             def wf(k, _):
-                out_ref[0, 0, (pw >> 2) + k] = src4(pw + k * 4, d4)
+                q = (wi + 1 + k) << 2
+                out_ref[0, 0, wi + 1 + k] = src4(q, d4)
                 return 0
 
-            lax.fori_loop(0, nwords, wf, 0)
-
-            def tb(i, _):
-                q = pw + (nwords << 2) + i
-                byte_write(q, byte_read(q - d4))
-                return 0
-
-            lax.fori_loop(0, body_len - (nwords << 2), tb, 0)
+            lax.fori_loop(0, nw, wf, 0)
 
         def walker(k, _):
             s = w_blk * S_BLK + k
@@ -561,19 +582,24 @@ def _make_expand_kernel(S_BLK: int, capw: int, OW: int):
                 )
 
                 def s_cond(sst):
-                    t, p, _reg, tok = sst
-                    return (t < capw) & (p < p1) & ((tok >> 30) == u32(VTOK_LIT))
+                    _t, _p, _reg, tok = sst
+                    # kind-only: the decode kernel never emits covers past
+                    # the span (cover > remaining flags bad BEFORE the
+                    # store) and pads the tail with NULLs, so the token
+                    # kind alone terminates the sprint; the t/p guards
+                    # live in outer_cond and the clamped lookahead loads.
+                    return (tok >> 30) == u32(VTOK_LIT)
 
                 def apply_lit(p, reg, tok):
                     """Funnel 1..3 bytes of a LIT token into the register;
                     returns (p2, reg2, word_to_store, store_idx). Pure ALU
                     (no branches): the store is unconditional — bytes
                     above the cursor are don't-care (readers only touch
-                    < cursor), which also dodges the predication tax."""
+                    < cursor), which also dodges the predication tax. The
+                    payload needs no count mask: the decode kernel zeroes
+                    unused literal lanes when packing."""
                     cnt = (((tok >> 24) & u32(0x3)) + u32(1)).astype(jnp.int32)
                     w = tok & u32(0x00FFFFFF)
-                    nbits = (cnt << 3).astype(u32)
-                    w = w & (u32(0xFFFFFFFF) >> (u32(32) - nbits))
                     sh = ((p & 3) << 3).astype(u32)
                     full = reg | (w << sh)
                     spill = (w >> u32(1)) >> (u32(31) - sh)
@@ -583,22 +609,31 @@ def _make_expand_kernel(S_BLK: int, capw: int, OW: int):
 
                 def s_body(sst):
                     t, p, reg, tok = sst
-                    # 2-token unroll: both next-token loads issue together
-                    # (independent SMEM loads overlap — probe_ilp), halving
-                    # the serial load->cond chain that dominates the sprint
-                    tokB = tape_ref[0, k, jnp.minimum(t + 1, capw - 1)]
-                    tokC = tape_ref[0, k, jnp.minimum(t + 2, capw - 1)]
-                    tokB = jnp.where(t + 1 < capw, tokB, u32(0))
-                    tokC = jnp.where(t + 2 < capw, tokC, u32(0))
+                    # 2-token unroll: both lookahead loads issue together
+                    # (independent SMEM loads overlap — probe_ilp). NOT
+                    # deeper: the applies are a serial ALU chain paid
+                    # every iteration whatever the run length, and the
+                    # average literal run is ~1.5 tokens (chip-counted),
+                    # so a 4-unroll LOSES — the ILK predication lesson.
+                    tokB = jnp.where(
+                        t + 1 < capw,
+                        tape_ref[0, k, jnp.minimum(t + 1, capw - 1)], u32(0),
+                    )
+                    tokC = jnp.where(
+                        t + 2 < capw,
+                        tape_ref[0, k, jnp.minimum(t + 2, capw - 1)], u32(0),
+                    )
                     pA, regA, wordA, idxA = apply_lit(p, reg, tok)
-                    out_ref[0, 0, idxA] = wordA
-                    take_b = ((tokB >> 30) == u32(VTOK_LIT)) & (pA < p1)
+                    if "litstore" not in ablate:
+                        out_ref[0, 0, idxA] = wordA
+                    take_b = (tokB >> 30) == u32(VTOK_LIT)
                     pB, regB, wordB, idxB = apply_lit(pA, regA, tokB)
                     # second store only when token B applied (its word may
                     # equal A's — ordering keeps it correct either way)
-                    out_ref[0, 0, jnp.where(take_b, idxB, idxA)] = jnp.where(
-                        take_b, wordB, wordA
-                    )
+                    if "litstore" not in ablate:
+                        out_ref[0, 0, jnp.where(take_b, idxB, idxA)] = jnp.where(
+                            take_b, wordB, wordA
+                        )
                     p2 = jnp.where(take_b, pB, pA)
                     reg2 = jnp.where(take_b, regB, regA)
                     t2 = t + 1 + take_b.astype(jnp.int32)
@@ -614,15 +649,20 @@ def _make_expand_kernel(S_BLK: int, capw: int, OW: int):
                 out_ref[0, 0, p >> 2] = reg
 
                 # ---- one match (or tail NULL) ----------------------------
+                # BRANCHLESS: copy_match always runs; for a NULL token
+                # (walker end / under-produced lane) cover is forced to 0,
+                # so the loops run zero iterations and the only side
+                # effect is one first-word store whose bytes >= p are
+                # don't-care (a cond here costs 10-15ns per match even
+                # never-taken — the single largest match-side tax).
                 is_match = (tok >> 30) == u32(VTOK_MATCH)
-
-                def do_match(p):
-                    cover = ((tok >> 16) & u32(0x3FFF)).astype(jnp.int32) + 3
-                    dist = (tok & u32(0xFFFF)).astype(jnp.int32)
+                cover = jnp.where(
+                    is_match, ((tok >> 16) & u32(0x3FFF)).astype(jnp.int32) + 3, 0
+                )
+                dist = (tok & u32(0xFFFF)).astype(jnp.int32)
+                if "match" not in ablate:
                     copy_match(p, cover, dist)
-                    return p + cover
-
-                p = lax.cond(is_match & (p < p1), do_match, lambda q: q, p)
+                p = p + cover
                 # a NULL mid-span means the walker under-produced (flagged
                 # upstream by rem != 0); skip to the end to terminate
                 t = jnp.where(is_match, t + 1, capw)
