@@ -1,0 +1,192 @@
+"""Vectorized match-table construction (ops/lzvec) vs a brute-force
+model of the scan kernel's longest_match walk (deflate_kernel._kernel
+best_match semantics: budget in chain steps, inclusive nice stop, chain
+truncation at the window edge, first-achiever-of-max tie rule)."""
+
+import numpy as np
+import pytest
+
+from zlib_rs_tpu.ops import lzvec
+
+
+def _brute_tables(data: bytes, n_valid, ins_from, *, depth, nice, w_g):
+    P = len(data)
+    cap_g = 4 * w_g
+    b = np.frombuffer(data, np.uint8).astype(np.int64)
+    bp = np.concatenate([b, np.zeros(300, np.int64)])
+    h = np.zeros(P, np.int64)
+    for p in range(P):
+        h[p] = ((bp[p] << 10) ^ (bp[p + 1] << 5) ^ bp[p + 2]) & (lzvec.HSIZE - 1)
+
+    chains = {}
+    order = {}
+    for p in range(ins_from, n_valid):
+        order.setdefault(int(h[p]), []).append(p)
+
+    def mlen(i, q, cap):
+        L = 0
+        while L < cap_g and bp[i + L] == bp[q + L]:
+            L += 1
+        return min(L, cap)
+
+    full = np.zeros(P, np.int64)
+    quart = np.zeros(P, np.int64)
+    for p in range(ins_from, n_valid):
+        group = order[int(h[p])]
+        at = group.index(p)
+        cands = group[:at][::-1]
+        cap = min(n_valid - p, lzvec.MAX_MATCH)
+        nice_eff = min(nice, cap)
+        for budget, out in ((depth, full), (max(depth >> 2, 1) if depth >> 2 else depth, quart)):
+            M = D = 0
+            for j, q in enumerate(cands):
+                if j >= budget or p - q > lzvec.MAX_DIST:
+                    break
+                L = mlen(p, q, cap)
+                if L > M:
+                    M, D = L, p - q
+                if L >= nice_eff:
+                    break
+            if M >= lzvec.MIN_MATCH:
+                out[p] = (M << 16) | D
+    return full, quart
+
+
+@pytest.mark.parametrize("seed,depth,nice", [(0, 16, 32), (1, 8, 16), (2, 128, 128)])
+def test_tables_match_bruteforce(seed, depth, nice):
+    rng = np.random.default_rng(seed)
+    # compressible-ish data: small alphabet + repeated slices
+    n = 2048
+    base = rng.integers(0, 8, n).astype(np.uint8)
+    data = bytearray(base.tobytes())
+    for _ in range(20):
+        s = int(rng.integers(0, n - 200))
+        d = int(rng.integers(0, n - 200))
+        ln = int(rng.integers(4, 80))
+        data[d : d + ln] = data[s : s + ln]
+    data = bytes(data)
+
+    W = (len(data) + 3) // 4 + 2
+    buf = np.zeros(W * 4, np.uint8)
+    buf[: len(data)] = np.frombuffer(data, np.uint8)
+    words4 = buf.view("<u4").astype(np.int64).astype(np.uint32)[None]
+
+    import jax.numpy as jnp
+
+    n_valid = jnp.asarray([len(data)], jnp.int32)
+    ins_from = jnp.asarray([0], jnp.int32)
+    tf, tq = lzvec.build_match_tables(
+        jnp.asarray(words4), n_valid, ins_from, depth=depth, nice=nice, w_g=16
+    )
+    tf = np.asarray(tf)[0]
+    tq = np.asarray(tq)[0]
+    bf, bq = _brute_tables(
+        bytes(buf.tobytes()), len(data), 0, depth=depth, nice=nice, w_g=16
+    )
+    P = len(data)
+    assert (tf[:P] == bf[:P]).all(), np.nonzero(tf[:P] != bf[:P])[0][:10]
+    assert (tq[:P] == bq[:P]).all(), np.nonzero(tq[:P] != bq[:P])[0][:10]
+
+
+def test_tables_dict_and_insfrom():
+    rng = np.random.default_rng(7)
+    data = (b"the quick brown fox " * 40)[:600] + rng.integers(0, 256, 200).astype(np.uint8).tobytes()
+    W = (len(data) + 3) // 4 + 2
+    buf = np.zeros(W * 4, np.uint8)
+    buf[: len(data)] = np.frombuffer(data, np.uint8)
+    words4 = buf.view("<u4").astype(np.int64).astype(np.uint32)[None]
+
+    import jax.numpy as jnp
+
+    for ins_from in (0, 64):
+        tf, tq = lzvec.build_match_tables(
+            jnp.asarray(words4),
+            jnp.asarray([len(data)], jnp.int32),
+            jnp.asarray([ins_from], jnp.int32),
+            depth=32, nice=32, w_g=8,
+        )
+        bf, bq = _brute_tables(
+            bytes(buf.tobytes()), len(data), ins_from, depth=32, nice=32, w_g=8
+        )
+        P = len(data)
+        assert (np.asarray(tf)[0][:P] == bf[:P]).all()
+        assert (np.asarray(tq)[0][:P] == bq[:P]).all()
+
+
+# ---------------------------------------------------------------------------
+# table-walk parse kernel vs the chain-walk scan kernel
+# ---------------------------------------------------------------------------
+
+def _mk_words(data: bytes):
+    import jax.numpy as jnp
+
+    W = (len(data) + 3) // 4 + 2
+    buf = np.zeros(W * 4, np.uint8)
+    buf[: len(data)] = np.frombuffer(data, np.uint8)
+    return jnp.asarray(buf.view("<u4").astype(np.int64).astype(np.uint32)[None])
+
+
+def _gen(seed, n=4096, maxcopy=56):
+    rng = np.random.default_rng(seed)
+    data = bytearray(rng.integers(0, 12, n).astype(np.uint8).tobytes())
+    for _ in range(40):
+        s = int(rng.integers(0, n - maxcopy - 1))
+        d = int(rng.integers(0, n - maxcopy - 1))
+        ln = int(rng.integers(4, maxcopy))
+        data[d : d + ln] = data[s : s + ln]
+    return bytes(data)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_tab_scan_identical_to_chain_scan(seed):
+    """With every true match below the table cap, the table-driven parse
+    reproduces the chain-walk kernel's stream exactly."""
+    import jax.numpy as jnp
+
+    from zlib_rs_tpu.ops.pallas.deflate_kernel import (
+        scan_chunks_pallas, scan_chunks_tab_pallas,
+    )
+
+    data = _gen(seed)
+    w4 = _mk_words(data)
+    nv = jnp.asarray([len(data)], jnp.int32)
+    z = jnp.asarray([0], jnp.int32)
+    knobs = dict(depth=128, nice=128, good=8, max_lazy=16, interpret=True)
+    mp0, ml0, nm0, bad0 = scan_chunks_pallas(w4, nv, z, z, **knobs)
+    mp1, ml1, nm1, bad1 = scan_chunks_tab_pallas(w4, nv, z, start=0, w_g=16, **knobs)
+    assert not bool(bad0[0]) and not bool(bad1[0])
+    n0, n1 = int(nm0[0]), int(nm1[0])
+    assert n0 == n1
+    assert (np.asarray(mp0)[0][:n0] == np.asarray(mp1)[0][:n1]).all()
+    assert (np.asarray(ml0)[0][:n0] == np.asarray(ml1)[0][:n1]).all()
+
+
+def test_tab_scan_long_matches_valid():
+    """Long runs exceed the table cap: the parse may differ from the
+    chain walk but every emitted match must be byte-valid and extended
+    past the cap."""
+    import jax.numpy as jnp
+
+    from zlib_rs_tpu.ops.pallas.deflate_kernel import scan_chunks_tab_pallas
+
+    data = (b"abcdefgh" * 64) + _gen(9, n=1024) + (b"\x00" * 300) + b"tail"
+    w4 = _mk_words(data)
+    nv = jnp.asarray([len(data)], jnp.int32)
+    z = jnp.asarray([0], jnp.int32)
+    mp, ml, nm, bad = scan_chunks_tab_pallas(
+        w4, nv, z, start=0, depth=128, nice=128, good=8, max_lazy=16,
+        w_g=16, interpret=True,
+    )
+    assert not bool(bad[0])
+    n = int(nm[0])
+    assert n > 0
+    mp, ml = np.asarray(mp)[0][:n], np.asarray(ml)[0][:n]
+    lens = (ml >> 15).astype(np.int64) + 3
+    dists = (ml & 0x7FFF).astype(np.int64) + 1
+    assert lens.max() > 64, "extension never exceeded the table cap"
+    end = 0
+    for p, ln, d in zip(mp, lens, dists):
+        assert p >= end, "overlapping matches"
+        assert d <= p
+        assert data[p : p + ln] == data[p - d : p - d + ln], (p, ln, d)
+        end = p + ln

@@ -298,6 +298,229 @@ def _kernel(meta_ref, words_ref, mpos_ref, mld_ref, st_ref, head, prev):
     st_ref[0, 0, 3] = 0
 
 
+def _make_kernel_tab(cap_g: int):
+    """Table-driven parse kernel: the deflate_slow decision loop with the
+    hash-chain walk REPLACED by reads of the ops/lzvec precomputed
+    longest_match tables (the round-4 encode vectorization: candidate
+    compares run on the VPU in sorted hash space; the scalar unit keeps
+    only the one-step-lazy parse, ~20 ops per emitted symbol instead of
+    a ~300-op chain walk per position).
+
+    tabf/tabq are packed (len << 16 | dist) for the full and quartered
+    chain budgets, indexed by (position - start); len is capped at cap_g
+    bytes, and the kernel extends cap-hitting winners byte-exactly
+    against the SMEM words (only real long matches pay).
+    """
+
+    def kernel(meta_ref, words_ref, tabf_ref, tabq_ref, mpos_ref, mld_ref,
+               st_ref):
+        n_valid = meta_ref[0, 0, 0]
+        start = meta_ref[0, 0, 1]
+        nice = meta_ref[0, 0, 4]
+        good = meta_ref[0, 0, 5]
+        max_lazy = meta_ref[0, 0, 6]
+
+        def get32(p):
+            wi = p >> 2
+            sh = ((p & 3) << 3).astype(jnp.uint32)
+            w0 = words_ref[0, 0, wi]
+            w1 = words_ref[0, 0, wi + 1]
+            return jnp.where(
+                sh > 0, (w0 >> sh) | (w1 << (jnp.uint32(32) - sh)), w0
+            )
+
+        def extend(i, blen, dist, cap):
+            """Byte-exact continuation of a table-capped match."""
+
+            def mcond(st):
+                k, go = st
+                return go & (k < cap)
+
+            def mbody(st):
+                k, _go = st
+                eq = get32(i + k) == get32(i - dist + k)
+                return jnp.where(eq, k + 4, k), eq
+
+            k, _ = lax.while_loop(mcond, mbody, (blen, True))
+            k = jnp.minimum(k, cap)
+            x = get32(i + k) ^ get32(i - dist + k)
+            t0 = (x & jnp.uint32(0xFF)) == 0
+            t1 = t0 & ((x & jnp.uint32(0xFFFF)) == 0)
+            t2 = t1 & ((x & jnp.uint32(0xFFFFFF)) == 0)
+            tail = t0.astype(jnp.int32) + t1.astype(jnp.int32) + t2.astype(jnp.int32)
+            return jnp.minimum(k + jnp.where(x == 0, 0, tail), cap)
+
+        def table_match(i, plen_in, want):
+            """Branch-free longest_match summary from the tables (the
+            10-15ns a lax.cond costs per position is the dominant tax at
+            this op count). Extension of cap-hitting winners is DEFERRED
+            to emit time — once per emitted match, not per position; the
+            lazy compare then sees the capped pending length, a tie rule
+            noise the cap already implies."""
+            cap = jnp.minimum(n_valid - i, MAX_MATCH)
+            nice_eff = jnp.minimum(nice, cap)
+            t = jnp.where(
+                plen_in >= good, tabq_ref[0, 0, i - start], tabf_ref[0, 0, i - start]
+            )
+            m = jnp.minimum(t >> 16, cap)
+            d = t & 0xFFFF
+            found = want & (plen_in < nice_eff) & (m > plen_in)
+            reject = ~found | (m < MIN_MATCH) | ((m == MIN_MATCH) & (d > 4096))
+            return jnp.where(reject, 0, m), jnp.where(reject, 0, d)
+
+        def emit(mc, pos, mlen, mdist, do_it, b):
+            slot = jnp.where(do_it & (mc < CAP_M), mc, CAP_M)
+            mpos_ref[0, 0, slot] = pos
+            mld_ref[0, 0, slot] = (
+                (mlen - MIN_MATCH).astype(jnp.uint32) << jnp.uint32(15)
+            ) | (mdist - 1).astype(jnp.uint32)
+            b = b | (do_it & (mc >= CAP_M))
+            return mc + do_it.astype(jnp.int32), b
+
+        def cond(st):
+            iw, _pl, _pd, _avail, _mc, b = st
+            return (iw[0] < n_valid) & ~b
+
+        def byte_at(p):
+            w = words_ref[0, 0, p >> 2]
+            return (
+                (w >> ((p & 3) << 3).astype(jnp.uint32)) & jnp.uint32(0xFF)
+            ).astype(jnp.int32)
+
+        def emit_ext(mc, pos, mlen, mdist, do_it, b):
+            """Emit with cap-extension: a pending match that maxed the
+            table cap is continued byte-exactly before it lands in the
+            stream (one cond per EMITTED match — ~2.9K/chunk, not 32K).
+            Also folds the symbol histogram (the separate freq kernel's
+            whole reason to exist) into the same walk."""
+            mlen = lax.cond(
+                do_it & (mlen == cap_g),
+                lambda a: extend(
+                    a[0], a[1], a[2],
+                    jnp.minimum(n_valid - a[0], MAX_MATCH),
+                ),
+                lambda a: a[1],
+                (pos, mlen, mdist),
+            )
+            mc, b = emit(mc, pos, mlen, mdist, do_it, b)
+            return mc, b, mlen
+
+        def body(st):
+            iw, plen, pdist, avail, mc, b = st
+            i = iw[0]
+
+            # LITERAL SPRINT: with no pending match, a position whose
+            # full-budget table entry is 0 is a literal outright (the
+            # quartered prefix is a subset, so its entry is 0 too) — run
+            # them through a dedicated loop whose whole cost is the
+            # condition (folding the symbol histogram in here was
+            # chip-measured a net LOSS vs the tight separate freq kernel)
+            def sp_cond(p):
+                return (
+                    ~avail & (p < n_valid) & (tabf_ref[0, 0, p - start] == 0)
+                )
+
+            i = lax.while_loop(sp_cond, lambda p: p + 1, i)
+
+            do_search = ~avail | (plen < max_lazy)
+            blen, bdist = table_match(
+                i, jnp.where(avail, plen, 0), do_search
+            )
+            emit_prev = avail & (blen == 0) & (plen >= MIN_MATCH)
+            mc, b, plen_e = emit_ext(mc, i - 1, plen, pdist, emit_prev, b)
+            new_avail = jnp.where(emit_prev, False, blen >= MIN_MATCH)
+            nxt = jnp.where(emit_prev, i - 1 + plen_e, i + 1)
+            new_plen = jnp.where(new_avail, blen, 0)
+            new_pdist = jnp.where(new_avail, bdist, 0)
+            return nxt[None], new_plen, new_pdist, new_avail, mc, b
+
+        iw, plen, pdist, avail, mc, b = lax.while_loop(
+            cond,
+            body,
+            (
+                start[None],
+                jnp.int32(0),
+                jnp.int32(0),
+                jnp.bool_(False),
+                jnp.int32(0),
+                jnp.bool_(False),
+            ),
+        )
+        i = iw[0]
+        fits = avail & (plen >= MIN_MATCH) & (i - 1 + plen <= n_valid)
+        mc, b, _pl = emit_ext(mc, i - 1, plen, pdist, fits, b)
+
+        st_ref[0, 0, 0] = mc
+        st_ref[0, 0, 1] = b.astype(jnp.int32)
+        st_ref[0, 0, 2] = 0
+        st_ref[0, 0, 3] = 0
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("start", "depth", "nice", "good", "max_lazy", "w_g", "interpret"),
+)
+def scan_chunks_tab_pallas(
+    words4, n_valid, ins_from, *,
+    start: int, depth: int, nice: int, good: int = 8, max_lazy: int = 16,
+    w_g: int = 16, interpret: bool = False,
+):
+    """Vectorized-matcher variant of scan_chunks_pallas: ops/lzvec builds
+    the per-position longest_match tables on the VPU, then the scalar
+    kernel does only the one-step-lazy parse. Same output contract as
+    scan_chunks_pallas; `start` (the first emittable position == dict
+    bytes) must be static so the tables can be sliced to the data span.
+    """
+    from ...ops import lzvec
+
+    B, W = words4.shape
+    tabf, tabq = lzvec.build_match_tables(
+        words4, n_valid.astype(jnp.int32), ins_from.astype(jnp.int32),
+        depth=depth, nice=nice, w_g=w_g,
+    )
+    tabn = 4 * W - start
+    tabf = tabf[:, start : start + tabn]
+    tabq = tabq[:, start : start + tabn]
+    meta = jnp.stack(
+        [
+            n_valid.astype(jnp.int32),
+            jnp.full((B,), start, jnp.int32),
+            ins_from.astype(jnp.int32),
+            jnp.full((B,), depth, jnp.int32),
+            jnp.full((B,), nice, jnp.int32),
+            jnp.full((B,), good, jnp.int32),
+            jnp.full((B,), max_lazy, jnp.int32),
+        ],
+        axis=1,
+    )
+    meta = jnp.pad(meta, ((0, 0), (0, 1))).reshape(B, 1, 8)
+    words3 = words4.reshape(B, 1, W)
+    mpos, mld, st = pl.pallas_call(
+        _make_kernel_tab(4 * w_g),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, W), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, tabn), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, tabn), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, CAP_M + 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, CAP_M + 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, CAP_M + 8), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, CAP_M + 8), jnp.uint32),
+            jax.ShapeDtypeStruct((B, 1, 8), jnp.int32),
+        ],
+        interpret=interpret,
+    )(meta, words3, tabf.reshape(B, 1, tabn), tabq.reshape(B, 1, tabn))
+    return mpos[:, 0], mld[:, 0], st[:, 0, 0], st[:, 0, 1] > 0
+
+
 @functools.partial(
     jax.jit, static_argnames=("depth", "nice", "good", "max_lazy", "interpret")
 )
@@ -674,7 +897,7 @@ def _pack_kernel(
 
 @functools.partial(jax.jit, static_argnames=("n_seeds", "interpret"))
 def freq_pack_chunks_pallas(
-    chunks_u8, n_valid, start, mpos, mld, nmatch, *,
+    chunks_u8, n_valid, start, mpos, mld, nmatch, freq=None, *,
     n_seeds: int = 0, interpret: bool = False,
 ):
     """Freqs -> XLA Kraft trees -> packed body bits, all from the scan's
@@ -703,20 +926,21 @@ def freq_pack_chunks_pallas(
     mpos3 = mpos.reshape(B, 1, C)
     mld3 = mld.reshape(B, 1, C)
 
-    freq = pl.pallas_call(
-        _freq_kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, W), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, 320), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1, 320), jnp.int32),
-        interpret=interpret,
-    )(meta_f, w3, mpos3, mld3)
-    freq = freq[:, 0]
+    if freq is None:
+        freq = pl.pallas_call(
+            _freq_kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, W), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 320), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((B, 1, 320), jnp.int32),
+            interpret=interpret,
+        )(meta_f, w3, mpos3, mld3)
+        freq = freq[:, 0]
     ll_freq = freq[:, :286].at[:, 256].add(1)  # EOB
     d_freq = freq[:, 288:318]
 

@@ -201,11 +201,24 @@ def _encode_batch(
                 | (bb[:, :, 3] << 24)
             )
             w4 = jnp.concatenate([w4, jnp.zeros((B, 2), jnp.uint32)], axis=1)
-            mpos, mld, nmatch, kbad = scan_chunks_pallas(
-                w4, n_valid, starts, valid_from.astype(jnp.int32),
-                depth=chain, nice=nice, good=good, max_lazy=mlazy,
-                interpret=interp,
-            )
+            if os.environ.get("ZRS_TPU_TABSCAN", "1") != "0":
+                # round-4 vectorized matcher: candidate compares on the
+                # VPU (ops/lzvec sorted-space tables), scalar parse only
+                from ..ops.pallas.deflate_kernel import scan_chunks_tab_pallas
+
+                mpos, mld, nmatch, kbad = scan_chunks_tab_pallas(
+                    w4, n_valid, valid_from.astype(jnp.int32),
+                    start=int(dict_size), depth=chain, nice=nice, good=good,
+                    max_lazy=mlazy,
+                    w_g=int(os.environ.get("ZRS_TPU_WG", "8")),
+                    interpret=interp,
+                )
+            else:
+                mpos, mld, nmatch, kbad = scan_chunks_pallas(
+                    w4, n_valid, starts, valid_from.astype(jnp.int32),
+                    depth=chain, nice=nice, good=good, max_lazy=mlazy,
+                    interpret=interp,
+                )
             # a bad (match-overflow) lane degrades to an all-literal parse,
             # the same fallback the positional wrapper applied
             nm_eff = jnp.where(kbad, 0, nmatch)
