@@ -392,11 +392,12 @@ def _device_trace_seconds(dispatch, reps: int, tag: str, timeout_s: int):
 
 
 def _phase_kernel_encode(data, flat, dev):
-    """SMEM hash-chain scan encode (ops/pallas/deflate_kernel.py) running
-    zlib's exact level-6 search rules, feeding the same XLA tree/pack
-    stages — at the kernel engine's native configuration: 32 KiB chunks +
-    a ~31 KiB priming dict (the setup whose exact-engine ratio measures
-    <= 1.0x zlib-6). The trace normalizes per input byte."""
+    """Kernel-engine encode at its native configuration (32 KiB chunks +
+    ~31 KiB priming dict). Since round 4 the default matcher is the
+    VECTORIZED one (ops/lzvec sorted-space longest_match tables + the
+    table-driven parse kernel, builder-measured 14.6 MB/s/chip at ratio
+    0.9962 vs zlib-6); ZRS_TPU_TABSCAN=0 selects the round-3 SMEM
+    chain-walk kernel. The trace normalizes per input byte."""
     import jax
     import jax.numpy as jnp
 
@@ -573,9 +574,10 @@ def _phase_kernel_ratio(data, dev):
 
 def _phase_vector(seed_pkl, dev):
     """Lane-parallel vector decode (parallel/vector_inflate + the vhuff
-    Pallas kernels): the headline device decode engine since round 3 —
-    VPU Huffman at ~1 GB/s feeding an in-SMEM scalar expansion. Verified
-    byte-exact against the raw-deflate oracle, then device-trace timed."""
+    Pallas kernels): the headline device decode engine — VPU Huffman at
+    ~3 GB/s feeding the in-SMEM sprint expansion (builder-measured
+    112 MB/s/chip e2e on the 8 MiB corpus). Exactness is verified against
+    the raw-deflate oracle BEFORE any timing lands in the JSON."""
     import pickle
     import zlib as _z
 
