@@ -356,13 +356,45 @@ def _device_trace_seconds(dispatch, reps: int, tag: str, timeout_s: int):
     import jax
 
     trace_dir = f"/tmp/zrs_bench_trace_{tag}_{os.getpid()}"
+
+    def attempt():
+        with jax.profiler.trace(trace_dir):
+            out = None
+            for _ in range(reps):
+                out = dispatch()
+            jax.block_until_ready(out)
+
     try:
         with _watchdog(timeout_s, f"device trace {tag}"):
-            with jax.profiler.trace(trace_dir):
-                out = None
-                for _ in range(reps):
-                    out = dispatch()
-                jax.block_until_ready(out)
+            try:
+                attempt()
+            except TimeoutError:
+                raise
+            except Exception as e:
+                # the tunnel profiler can refuse to start (observed:
+                # profiler_controller INVALID_ARGUMENT, which then poisons
+                # the whole controller) — retry once, then degrade to a
+                # wall-clock measurement labeled as such by the caller
+                # rather than losing the phase entirely
+                _log(f"trace {tag} failed ({type(e).__name__}); retrying")
+                _stop_leaked_trace()
+                time.sleep(5)
+                try:
+                    attempt()
+                except TimeoutError:
+                    raise
+                except Exception as e2:
+                    _log(
+                        f"trace {tag} failed twice ({type(e2).__name__}): "
+                        "falling back to wall clock"
+                    )
+                    t0 = time.monotonic()
+                    out = None
+                    for _ in range(reps):
+                        out = dispatch()
+                    jax.block_until_ready(out)
+                    wall = (time.monotonic() - t0) / reps
+                    return wall, {"__wall_clock__": True}
     except BaseException:
         # a wedged tunnel call can blow the watchdog INSIDE the trace
         # context; make sure the profiler session is closed or every
@@ -433,7 +465,13 @@ def _phase_kernel_encode(data, flat, dev):
     sec, progs = _device_trace_seconds(
         kernel_once, 1, "kencode", min(420, remaining() - 30)
     )
-    if sec:
+    if sec and progs.get("__wall_clock__"):
+        dev["kernel_encode_wallclock_gbps"] = round(KB * KCHUNK / sec / 1e9, 5)
+        _log(
+            f"kernel-scan encode WALL-CLOCK (profiler down) "
+            f"{dev['kernel_encode_wallclock_gbps']} GB/s ({sec:.2f}s/batch)"
+        )
+    elif sec:
         dev["kernel_encode_trace_s_per_batch"] = round(sec, 3)
         dev["kernel_encode_trace_gbps"] = round(KB * KCHUNK / sec / 1e9, 5)
         dev["kernel_encode_trace_programs"] = progs
@@ -469,10 +507,12 @@ def _phase_pallas_inflate(data, dev):
     _log("pallas inflate kernel: chip compile + decode verified")
 
     dispatch = SW.make_kernel_dispatch(bodies, out_sizes)
-    sec, _progs = _device_trace_seconds(
+    sec, progs = _device_trace_seconds(
         dispatch, 1, "pallas_kernel", min(360, remaining() - 30)
     )
-    if sec:
+    if sec and progs.get("__wall_clock__"):
+        dev["pallas_inflate_wallclock_gbps"] = round(sum(out_sizes) / sec / 1e9, 5)
+    elif sec:
         dev["pallas_inflate_kernel_trace_s"] = round(sec, 3)
         dev["pallas_inflate_kernel_gbps"] = round(sum(out_sizes) / sec / 1e9, 5)
         _log(
@@ -599,7 +639,9 @@ def _phase_vector(seed_pkl, dev):
     # tile the batch to a meaningful measurement size (~8 MiB output)
     tile = max(1, (8 << 20) // max(1, sum(out_sizes)))
     bodies, out_sizes, seeds = bodies * tile, out_sizes * tile, seeds * tile
-    with _watchdog(min(240, remaining() - 30), "vector exactness"):
+    # cold kernel compile alone measured ~190s on the tunnel chip — the
+    # exactness box must cover compile + decode, not just decode
+    with _watchdog(min(360, remaining() - 30), "vector exactness"):
         parts = VI.decode_chunks_vector(bodies, out_sizes, seeds, interpret=False)
     for part, body, osz in zip(parts, bodies, out_sizes):
         ref = _z.decompressobj(-15).decompress(body)[:osz]
@@ -612,6 +654,10 @@ def _phase_vector(seed_pkl, dev):
     sec, progs = _device_trace_seconds(
         dispatch, 5, "vector", min(240, remaining() - 30)
     )
+    if sec and progs.get("__wall_clock__"):
+        dev["vector_decode_wallclock_gbps"] = round(sum(out_sizes) / sec / 1e9, 5)
+        _log(f"vector decode WALL-CLOCK (profiler down) {dev['vector_decode_wallclock_gbps']} GB/s")
+        return
     if sec:
         out_bytes = sum(out_sizes)
         dev["vector_decode_trace_s"] = round(sec, 4)
@@ -676,10 +722,14 @@ def _phase_swarm(seed_pkl, dev):
     with _watchdog(min(300, remaining() - 30), "swarm compile"):
         jax.block_until_ready(swarm_once())
     _log("swarm decode compiled")
-    sec, _progs = _device_trace_seconds(
+    sec, progs = _device_trace_seconds(
         swarm_once, 1, "swarm", min(300, remaining() - 30)
     )
-    if sec:
+    if sec and progs.get("__wall_clock__"):
+        dev["swarm_decode_wallclock_gbps"] = round(
+            sum(out_sizes) * tile / sec / 1e9, 5
+        )
+    elif sec:
         out_bytes = sum(out_sizes) * tile
         dev["swarm_decode_trace_s"] = round(sec, 3)
         dev["swarm_decode_trace_gbps"] = round(out_bytes / sec / 1e9, 5)
@@ -715,7 +765,9 @@ def _phase_xla_encode(data, flat, dev):
     sec, progs = _device_trace_seconds(
         run_once, 1, "encode", min(300, remaining() - 60)
     )
-    if sec:
+    if sec and progs.get("__wall_clock__"):
+        dev["encode_wallclock_gbps"] = round(BATCH * CHUNK / sec / 1e9, 5)
+    elif sec:
         dev["encode_trace_s_per_batch"] = round(sec, 3)
         dev["encode_trace_gbps"] = round(BATCH * CHUNK / sec / 1e9, 5)
         dev["encode_trace_programs"] = progs
@@ -737,7 +789,7 @@ def bench_device(data: bytes, seed_pkl: str | None, emit=None) -> dict:
         # wedge on the tunnel
         ("kernel_ratio", 180, lambda: _phase_kernel_ratio(data, dev)),
         ("kernel_encode", 180, lambda: _phase_kernel_encode(data, flat, dev)),
-        ("vector_decode", 200, lambda: _phase_vector(seed_pkl, dev)),
+        ("vector_decode", 260, lambda: _phase_vector(seed_pkl, dev)),
         ("pallas_inflate", 150, lambda: _phase_pallas_inflate(data, dev)),
         ("foreign_kernel", 240, lambda: _phase_foreign_kernel(data, dev)),
         ("swarm", 150, lambda: _phase_swarm(seed_pkl, dev)),
@@ -800,6 +852,11 @@ def _compose_result(result, device, cpu, native, sweep):
         device.get("kernel_encode_trace_gbps") or 0.0,
     )
     headline_src = "device trace"
+    if not headline and device.get("kernel_encode_wallclock_gbps"):
+        # the profiler-down fallback: a block_until_ready dispatch loop
+        # (can read optimistic on this tunnel — labeled accordingly)
+        headline = device["kernel_encode_wallclock_gbps"]
+        headline_src = "wall-clock dispatch loop (profiler unavailable)"
     if not headline and device.get("kernel_e2e_wall_gbps"):
         headline = device["kernel_e2e_wall_gbps"]
         headline_src = "e2e wall incl host (no device trace landed yet)"

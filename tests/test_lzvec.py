@@ -190,3 +190,54 @@ def test_tab_scan_long_matches_valid():
         assert d <= p
         assert data[p : p + ln] == data[p - d : p - d + ln], (p, ln, d)
         end = p + ln
+
+
+@pytest.mark.parametrize("seed,maxcopy", [(0, 56), (5, 200)])
+def test_hop_scan_identical_to_tab_scan(seed, maxcopy):
+    """The hop-table pointer chase must reproduce the table-walk kernel's
+    stream EXACTLY — the lazy chain is the same automaton, precomputed."""
+    import jax.numpy as jnp
+
+    from zlib_rs_tpu.ops.pallas.deflate_kernel import (
+        scan_chunks_hop_pallas, scan_chunks_tab_pallas,
+    )
+
+    data = _gen(seed, n=6144, maxcopy=maxcopy) + b"\x07" * 400 + b"end"
+    w4 = _mk_words(data)
+    nv = jnp.asarray([len(data)], jnp.int32)
+    z = jnp.asarray([0], jnp.int32)
+    knobs = dict(
+        start=0, depth=128, nice=128, good=8, max_lazy=16, w_g=8,
+        interpret=True,
+    )
+    mp0, ml0, nm0, bad0 = scan_chunks_tab_pallas(w4, nv, z, **knobs)
+    mp1, ml1, nm1, bad1 = scan_chunks_hop_pallas(w4, nv, z, **knobs)
+    assert bool(bad0[0]) == bool(bad1[0])
+    n0, n1 = int(nm0[0]), int(nm1[0])
+    assert n0 == n1
+    assert (np.asarray(mp0)[0][:n0] == np.asarray(mp1)[0][:n0]).all()
+    assert (np.asarray(ml0)[0][:n0] == np.asarray(ml1)[0][:n0]).all()
+
+
+def test_hop_scan_dict_primed():
+    import jax.numpy as jnp
+
+    from zlib_rs_tpu.ops.pallas.deflate_kernel import (
+        scan_chunks_hop_pallas, scan_chunks_tab_pallas,
+    )
+
+    dict_part = _gen(11, n=1024)
+    data = dict_part + _gen(12, n=2048, maxcopy=30)
+    w4 = _mk_words(data)
+    nv = jnp.asarray([len(data)], jnp.int32)
+    z = jnp.asarray([0], jnp.int32)
+    knobs = dict(
+        start=1024, depth=64, nice=32, good=8, max_lazy=16, w_g=8,
+        interpret=True,
+    )
+    mp0, ml0, nm0, _b0 = scan_chunks_tab_pallas(w4, nv, z, **knobs)
+    mp1, ml1, nm1, _b1 = scan_chunks_hop_pallas(w4, nv, z, **knobs)
+    n0, n1 = int(nm0[0]), int(nm1[0])
+    assert n0 == n1 and n0 > 0
+    assert (np.asarray(mp0)[0][:n0] == np.asarray(mp1)[0][:n0]).all()
+    assert (np.asarray(ml0)[0][:n0] == np.asarray(ml1)[0][:n0]).all()

@@ -308,6 +308,10 @@ def build_match_tables(
     # undo the permutation: one more sort, keyed by position (sentinels
     # carry pos-field 0xFFFF and sink to the tail)
     back = lax.sort([ks & 0xFFFF, packed, packed32], dimension=1, num_keys=1)
+    return _align_tables(back, ins_from, P)
+
+
+def _align_tables(back, ins_from, P):
     _bpos, btab, btab32 = back
 
     # align rows to absolute positions: real rows start at ins_from
@@ -321,3 +325,97 @@ def build_match_tables(
         return jax.vmap(one)(tab, ins_from.astype(jnp.int32))
 
     return align(btab), align(btab32)
+
+
+# ---------------------------------------------------------------------------
+# hop tables: the lazy chain itself, vectorized
+# ---------------------------------------------------------------------------
+
+def _shift_fwd(x, k, P):
+    """y[p] = x[p + k] (zero fill past the end); k is a traced scalar."""
+    xp = jnp.pad(x, ((0, 0), (0, x.shape[1])))
+    return lax.dynamic_slice_in_dim(xp, k, P, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("depth", "nice", "good", "max_lazy", "w_g"),
+)
+def build_hop_tables(
+    words4, n_valid, ins_from, *,
+    depth: int, nice: int, good: int, max_lazy: int, w_g: int = 8,
+):
+    """Vectorize the one-step-lazy DECISION CHAIN on top of the match
+    tables, so the scalar pass degenerates to a pointer chase.
+
+    Key observation: from a clean arrival at position p, deflate_slow's
+    deferral chain is a pure function of p — pending length strictly
+    increases each deferral and the search is skipped once it reaches
+    max_lazy, so the chain has at most (max_lazy - MIN_MATCH) hops, and
+    hop k of EVERY position reads tables at p + k: a constant shift, not
+    a gather. One bounded fori computes, for every position at once, the
+    number of deferred literals, the emitted (len, dist), and thus the
+    parse successor.
+
+    Returns htab int32[B, 4W], position-indexed:
+      0                                    -> literal (successor p + 1)
+      (1 << 30) | h << 23 | len << 16 | d  -> h literals, then a match of
+                                              (len, d) at p + h
+    len is capped at 4 * w_g (the parse kernel extends at emit); callers
+    must keep 4 * w_g < 128 and max_lazy - MIN_MATCH < 128 so the fields
+    fit. Decision-equivalent to scan_chunks_tab_pallas's walk by
+    construction (differential-tested in tests/test_lzvec.py).
+    """
+    if 4 * w_g >= 128 or max_lazy - MIN_MATCH >= 128:
+        raise ValueError("hop-table field widths need 4*w_g < 128 and "
+                         "max_lazy - MIN_MATCH < 128")
+    B, W = words4.shape
+    P = 4 * W
+    tabf, tabq = build_match_tables(
+        words4, n_valid, ins_from, depth=depth, nice=nice, w_g=w_g
+    )
+    Mf, Df = tabf >> 16, tabf & 0xFFFF
+    Mq, Dq = tabq >> 16, tabq & 0xFFFF
+
+    pos = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], (B, P))
+    cap = jnp.clip(n_valid[:, None] - pos, 0, MAX_MATCH)
+    nice_eff = jnp.minimum(jnp.int32(nice), cap)
+
+    # hop 0: the clean-arrival search (full budget, threshold 0)
+    is_lit = (Mf < MIN_MATCH) | ((Mf == MIN_MATCH) & (Df > 4096))
+    plen = Mf
+    pdist = Df
+    h = jnp.zeros((B, P), jnp.int32)
+    alive = ~is_lit
+
+    def hop(k, st):
+        plen, pdist, h, alive = st
+        mf = _shift_fwd(Mf, k, P)
+        df = _shift_fwd(Df, k, P)
+        mq = _shift_fwd(Mq, k, P)
+        dq = _shift_fwd(Dq, k, P)
+        ne = _shift_fwd(nice_eff, k, P)
+        quart = plen >= good
+        cand = jnp.where(quart, mq, mf)
+        cdist = jnp.where(quart, dq, df)
+        found = (
+            alive
+            & (pos + k < n_valid[:, None])
+            & (plen < max_lazy)
+            & (plen < ne)
+            & (cand > plen)
+        )
+        plen = jnp.where(found, cand, plen)
+        pdist = jnp.where(found, cdist, pdist)
+        h = jnp.where(found, k, h)
+        return plen, pdist, h, found
+
+    plen, pdist, h, _ = lax.fori_loop(
+        1, max_lazy - MIN_MATCH + 1, hop, (plen, pdist, h, alive)
+    )
+    htab = jnp.where(
+        is_lit,
+        0,
+        (jnp.int32(1) << 30) | (h << 23) | (plen << 16) | pdist,
+    )
+    return htab

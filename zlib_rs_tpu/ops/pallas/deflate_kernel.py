@@ -458,6 +458,149 @@ def _make_kernel_tab(cap_g: int):
     return kernel
 
 
+def _make_kernel_hop(cap_g: int):
+    """Pointer-chase parse kernel over ops/lzvec HOP tables.
+
+    With the lazy deferral chain itself precomputed on the VPU
+    (lzvec.build_hop_tables), the scalar pass carries NO parse state at
+    all: a literal sprint skips htab==0 runs, and every other stop reads
+    one packed entry — h deferred literals, then a match of (len, dist)
+    at i+h — emits, extends a table-capped length byte-exactly, and
+    jumps. One loop iteration per emitted match instead of one per
+    visited position."""
+
+    def kernel(meta_ref, words_ref, htab_ref, mpos_ref, mld_ref, st_ref):
+        n_valid = meta_ref[0, 0, 0]
+        start = meta_ref[0, 0, 1]
+
+        def get32(p):
+            wi = p >> 2
+            sh = ((p & 3) << 3).astype(jnp.uint32)
+            w0 = words_ref[0, 0, wi]
+            w1 = words_ref[0, 0, wi + 1]
+            return jnp.where(
+                sh > 0, (w0 >> sh) | (w1 << (jnp.uint32(32) - sh)), w0
+            )
+
+        def extend(i, blen, dist, cap):
+            def mcond(st):
+                k, go = st
+                return go & (k < cap)
+
+            def mbody(st):
+                k, _go = st
+                eq = get32(i + k) == get32(i - dist + k)
+                return jnp.where(eq, k + 4, k), eq
+
+            k, _ = lax.while_loop(mcond, mbody, (blen, True))
+            k = jnp.minimum(k, cap)
+            x = get32(i + k) ^ get32(i - dist + k)
+            t0 = (x & jnp.uint32(0xFF)) == 0
+            t1 = t0 & ((x & jnp.uint32(0xFFFF)) == 0)
+            t2 = t1 & ((x & jnp.uint32(0xFFFFFF)) == 0)
+            tail = t0.astype(jnp.int32) + t1.astype(jnp.int32) + t2.astype(jnp.int32)
+            return jnp.minimum(k + jnp.where(x == 0, 0, tail), cap)
+
+        def emit(mc, pos, mlen, mdist, do_it, b):
+            slot = jnp.where(do_it & (mc < CAP_M), mc, CAP_M)
+            mpos_ref[0, 0, slot] = pos
+            mld_ref[0, 0, slot] = (
+                (mlen - MIN_MATCH).astype(jnp.uint32) << jnp.uint32(15)
+            ) | (mdist - 1).astype(jnp.uint32)
+            b = b | (do_it & (mc >= CAP_M))
+            return mc + do_it.astype(jnp.int32), b
+
+        def cond(st):
+            iw, _mc, b = st
+            return (iw[0] < n_valid) & ~b
+
+        def body(st):
+            iw, mc, b = st
+            i = iw[0]
+
+            def sp_cond(p):
+                return (p < n_valid) & (htab_ref[0, 0, p - start] == 0)
+
+            i = lax.while_loop(sp_cond, lambda p: p + 1, i)
+            ht = htab_ref[0, 0, jnp.minimum(i, n_valid - 1) - start]
+            do = i < n_valid
+            h = (ht >> 23) & 0x7F
+            mlen = (ht >> 16) & 0x7F
+            dist = ht & 0xFFFF
+            ip = i + h
+            mlen = lax.cond(
+                do & (mlen == cap_g),
+                lambda a: extend(
+                    a[0], a[1], a[2], jnp.minimum(n_valid - a[0], MAX_MATCH)
+                ),
+                lambda a: a[1],
+                (ip, mlen, dist),
+            )
+            mc, b = emit(mc, ip, mlen, dist, do, b)
+            nxt = jnp.where(do, ip + mlen, n_valid)
+            return nxt[None], mc, b
+
+        iw, mc, b = lax.while_loop(
+            cond, body, (start[None], jnp.int32(0), jnp.bool_(False))
+        )
+        st_ref[0, 0, 0] = mc
+        st_ref[0, 0, 1] = b.astype(jnp.int32)
+        st_ref[0, 0, 2] = 0
+        st_ref[0, 0, 3] = 0
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("start", "depth", "nice", "good", "max_lazy", "w_g", "interpret"),
+)
+def scan_chunks_hop_pallas(
+    words4, n_valid, ins_from, *,
+    start: int, depth: int, nice: int, good: int = 8, max_lazy: int = 16,
+    w_g: int = 8, interpret: bool = False,
+):
+    """Hop-table variant of scan_chunks_tab_pallas: lzvec precomputes the
+    whole lazy decision chain, the kernel only chases parse successors.
+    Same output contract; requires max_lazy - MIN_MATCH < 128 (true for
+    zlib levels 1-8; level 9 uses the tab walk)."""
+    from ...ops import lzvec
+
+    B, W = words4.shape
+    htab = lzvec.build_hop_tables(
+        words4, n_valid.astype(jnp.int32), ins_from.astype(jnp.int32),
+        depth=depth, nice=nice, good=good, max_lazy=max_lazy, w_g=w_g,
+    )
+    tabn = 4 * W - start
+    htab = htab[:, start : start + tabn]
+    meta = jnp.stack(
+        [n_valid.astype(jnp.int32), jnp.full((B,), start, jnp.int32)], axis=1
+    )
+    meta = jnp.pad(meta, ((0, 0), (0, 6))).reshape(B, 1, 8)
+    words3 = words4.reshape(B, 1, W)
+    mpos, mld, st = pl.pallas_call(
+        _make_kernel_hop(4 * w_g),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, W), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, tabn), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, CAP_M + 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, CAP_M + 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, CAP_M + 8), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, CAP_M + 8), jnp.uint32),
+            jax.ShapeDtypeStruct((B, 1, 8), jnp.int32),
+        ],
+        interpret=interpret,
+    )(meta, words3, htab.reshape(B, 1, tabn))
+    return mpos[:, 0], mld[:, 0], st[:, 0, 0], st[:, 0, 1] > 0
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("start", "depth", "nice", "good", "max_lazy", "w_g", "interpret"),

@@ -202,16 +202,24 @@ def _encode_batch(
             )
             w4 = jnp.concatenate([w4, jnp.zeros((B, 2), jnp.uint32)], axis=1)
             if os.environ.get("ZRS_TPU_TABSCAN", "1") != "0":
-                # round-4 vectorized matcher: candidate compares on the
-                # VPU (ops/lzvec sorted-space tables), scalar parse only
-                from ..ops.pallas.deflate_kernel import scan_chunks_tab_pallas
+                # round-4 vectorized matcher: candidate compares AND (for
+                # levels whose lazy chain fits the hop encoding) the lazy
+                # decisions themselves run on the VPU (ops/lzvec); the
+                # scalar kernel is a table walk or a pure pointer chase
+                from ..ops.pallas.deflate_kernel import (
+                    scan_chunks_hop_pallas, scan_chunks_tab_pallas,
+                )
 
-                mpos, mld, nmatch, kbad = scan_chunks_tab_pallas(
+                wg = int(os.environ.get("ZRS_TPU_WG", "8"))
+                use_hop = (
+                    mlazy - 3 < 128 and 4 * wg < 128
+                    and os.environ.get("ZRS_TPU_HOPSCAN", "1") != "0"
+                )
+                scan = scan_chunks_hop_pallas if use_hop else scan_chunks_tab_pallas
+                mpos, mld, nmatch, kbad = scan(
                     w4, n_valid, valid_from.astype(jnp.int32),
                     start=int(dict_size), depth=chain, nice=nice, good=good,
-                    max_lazy=mlazy,
-                    w_g=int(os.environ.get("ZRS_TPU_WG", "8")),
-                    interpret=interp,
+                    max_lazy=mlazy, w_g=wg, interpret=interp,
                 )
             else:
                 mpos, mld, nmatch, kbad = scan_chunks_pallas(
@@ -534,6 +542,13 @@ def compress_parallel(
     # 128 KiB chunk), and transfer of batch k+1 overlaps compute of batch k.
     group = mesh.devices.size if mesh is not None else 1
     batch = max(group, min(16, ((16 + group - 1) // group) * group))
+    # kernel-scan chunks are small (32 KiB) and the per-DISPATCH cost on
+    # the tunnel-attached chip is ~0.5s — 50x the device time of a
+    # 16-chunk batch. Use 128-chunk super-batches for the bulk (two
+    # compiled shapes total: the tail still pads to 16).
+    bulk = 0
+    if kernel_scan and mesh is None and n_chunks >= 128:
+        bulk = (n_chunks // 128) * 128
     pad_rows = (-n_chunks) % batch
     if pad_rows:
         padded = np.concatenate(
@@ -550,8 +565,12 @@ def compress_parallel(
     parts_words, parts_bits, parts_adler = [], [], []
     parts_ll, parts_d = [], []
     parts_sbit, parts_sout = [], []
-    for b0 in range(0, n_chunks, batch):
-        sl = slice(b0, b0 + batch)
+    parts_words_full = []
+    spans = [(i, 128) for i in range(0, bulk, 128)] + [
+        (i, batch) for i in range(bulk, n_chunks, batch)
+    ]
+    for b0, bsz in spans:
+        sl = slice(b0, b0 + bsz)
         if mesh is not None:
             dc, dn, df, dv = _shard_inputs(
                 mesh, padded[sl], n_valid_dev[sl], finals_dev[sl], valid_from_dev[sl]
@@ -569,6 +588,16 @@ def compress_parallel(
         adlers = _adler_batch_best(
             dc[:, dict_size : dict_size + chunk_size], dn - dict_size
         )
+        # fetch only a compressed-size bound per chunk: the words buffer
+        # is sized for the bit-level WORST case (~4x the input), and the
+        # tunnel download was measured to dominate e2e wall. Chunks whose
+        # payload exceeds the bound (incompressible data, which the
+        # assembler replaces with stored blocks anyway) refetch their full
+        # row lazily from the retained device array.
+        cw = chunk_size // 4 + 80
+        if words.shape[1] > cw:
+            parts_words_full.append((b0, words))
+            words = words[:, :cw]
         parts_words.append(words)
         parts_bits.append(bits)
         parts_adler.append(adlers)
@@ -590,6 +619,17 @@ def compress_parallel(
         sbit_all = np.concatenate([np.asarray(x) for x in parts_sbit])[:n_chunks]
         sout_all = np.concatenate([np.asarray(x) for x in parts_sout])[:n_chunks]
 
+    def row_words(k, need_bytes):
+        """Per-chunk payload words; refetches the retained full device row
+        when the compressed-size-bound slice is too short (stored-fallback
+        chunks only)."""
+        if need_bytes <= words_np.shape[1] * 4:
+            return words_np[k]
+        for b0, full in parts_words_full:
+            if b0 <= k < b0 + full.shape[0]:
+                return np.asarray(full[k - b0])
+        return words_np[k]
+
     payloads = []
     if dynamic:
         ll_np = ll_all
@@ -597,13 +637,15 @@ def compress_parallel(
         for k in range(n_chunks):
             hdr, hb = _dyn_header(ll_np[k], d_np[k], final=k == n_chunks - 1)
             body_bits = int(bits_np[k])
-            payload = _splice_bits(hdr, hb, words_np[k].view(np.uint8), body_bits)
+            row = row_words(k, (body_bits + 7) // 8 + 1)
+            payload = _splice_bits(hdr, hb, row.view(np.uint8), body_bits)
             payloads.append((payload, hb + body_bits))
     else:
         for k in range(n_chunks):
             total_bits = int(bits_np[k])
             nbytes = (total_bits + 7) // 8
-            payloads.append((words_np[k].view(np.uint8)[:nbytes].tobytes(), total_bits))
+            row = row_words(k, nbytes)
+            payloads.append((row.view(np.uint8)[:nbytes].tobytes(), total_bits))
 
     chunks_raw = [
         data[k * chunk_size : k * chunk_size + int(data_len[k])] for k in range(n_chunks)
