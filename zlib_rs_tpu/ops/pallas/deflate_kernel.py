@@ -890,6 +890,17 @@ def _freq_kernel(meta_ref, words_ref, mpos_ref, mld_ref, freq_ref):
     lits(pos, n_valid)
 
 
+def _make_pack_kernel(with_seeds: bool):
+    """Pack-kernel factory: without seeds the per-literal seed_check
+    while-cond (~5 ns x every literal) compiles out entirely — the bench
+    and non-indexed pipeline configuration."""
+
+    def kernel(*refs):
+        return _pack_kernel(*refs, with_seeds=with_seeds)
+
+    return kernel
+
+
 def _pack_kernel(
     meta_ref,   # i32 (1,1,8): n_valid, start, nmatch, n_seeds, seed_stride
     words_ref,  # u32 (1,1,W): chunk bytes
@@ -902,6 +913,7 @@ def _pack_kernel(
     sbit_ref,   # i32 (1,1,NS): seed body-relative bit offsets
     sout_ref,   # i32 (1,1,NS): seed chunk-relative output offsets
     tab_echo_ref,  # u32 (1,1,320): the EXACT tables this kernel consumed
+    with_seeds: bool = True,
 ):
     # echo the consumed code tables: the caller derives the header length
     # arrays from THIS copy, so header and body agree by construction even
@@ -953,6 +965,8 @@ def _pack_kernel(
 
     def seed_check(st, p):
         # record every seed target the next token at p satisfies
+        if not with_seeds:
+            return st
         acc, cnt, owi, b, sidx = st
 
         def s_cond(s):
@@ -1117,7 +1131,7 @@ def freq_pack_chunks_pallas(
     meta_p = jnp.pad(meta_p, ((0, 0), (0, 3))).reshape(B, 1, 8)
 
     owords, stt_o, sbit, sout, tab_echo = pl.pallas_call(
-        _pack_kernel,
+        _make_pack_kernel(n_seeds > 0),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
