@@ -211,7 +211,7 @@ def test_hop_scan_identical_to_tab_scan(seed, maxcopy):
         interpret=True,
     )
     mp0, ml0, nm0, bad0 = scan_chunks_tab_pallas(w4, nv, z, **knobs)
-    mp1, ml1, nm1, bad1 = scan_chunks_hop_pallas(w4, nv, z, **knobs)
+    mp1, ml1, nm1, bad1, _f = scan_chunks_hop_pallas(w4, nv, z, **knobs)
     assert bool(bad0[0]) == bool(bad1[0])
     n0, n1 = int(nm0[0]), int(nm1[0])
     assert n0 == n1
@@ -236,8 +236,29 @@ def test_hop_scan_dict_primed():
         interpret=True,
     )
     mp0, ml0, nm0, _b0 = scan_chunks_tab_pallas(w4, nv, z, **knobs)
-    mp1, ml1, nm1, _b1 = scan_chunks_hop_pallas(w4, nv, z, **knobs)
+    mp1, ml1, nm1, _b1, _f = scan_chunks_hop_pallas(w4, nv, z, **knobs)
     n0, n1 = int(nm0[0]), int(nm1[0])
     assert n0 == n1 and n0 > 0
     assert (np.asarray(mp0)[0][:n0] == np.asarray(mp1)[0][:n0]).all()
     assert (np.asarray(ml0)[0][:n0] == np.asarray(ml1)[0][:n0]).all()
+
+
+def test_hop_fold_freq_byte_identical_pipeline(monkeypatch):
+    """The hop kernel's folded symbol histogram must reproduce the freq
+    kernel's counts exactly — checked end-to-end: the hop and tab paths
+    share the parse, so any histogram drift would change the Huffman
+    trees and the compressed bytes."""
+    import os
+    import zlib as _z
+
+    monkeypatch.setenv("ZRS_TPU_KERNEL", "1")
+    from zlib_rs_tpu.parallel import pipeline as P
+
+    data = (_gen(21, n=40000, maxcopy=120)
+            + b"\x00" * 5000 + (b"repeat!" * 3000) + _gen(22, n=20000))
+    monkeypatch.setenv("ZRS_TPU_HOPSCAN", "1")
+    a = P.compress_parallel(data, level=6, chunk_size=32 * 1024)
+    monkeypatch.setenv("ZRS_TPU_HOPSCAN", "0")
+    b = P.compress_parallel(data, level=6, chunk_size=32 * 1024)
+    assert _z.decompress(a) == data
+    assert a == b, "hop fold diverged from the freq kernel"

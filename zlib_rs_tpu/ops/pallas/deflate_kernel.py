@@ -469,9 +469,16 @@ def _make_kernel_hop(cap_g: int):
     jumps. One loop iteration per emitted match instead of one per
     visited position."""
 
-    def kernel(meta_ref, words_ref, htab_ref, mpos_ref, mld_ref, st_ref):
+    def kernel(meta_ref, words_ref, htab_ref, mpos_ref, mld_ref, st_ref,
+               freq_ref):
         n_valid = meta_ref[0, 0, 0]
         start = meta_ref[0, 0, 1]
+
+        def zf(i, _):
+            freq_ref[0, 0, i] = 0
+            return 0
+
+        lax.fori_loop(0, 320, zf, 0)
 
         def get32(p):
             wi = p >> 2
@@ -501,6 +508,16 @@ def _make_kernel_hop(cap_g: int):
             tail = t0.astype(jnp.int32) + t1.astype(jnp.int32) + t2.astype(jnp.int32)
             return jnp.minimum(k + jnp.where(x == 0, 0, tail), cap)
 
+        def byte_at(p):
+            w = words_ref[0, 0, p >> 2]
+            return (
+                (w >> ((p & 3) << 3).astype(jnp.uint32)) & jnp.uint32(0xFF)
+            ).astype(jnp.int32)
+
+        def count_lit(p):
+            bsl = byte_at(p)
+            freq_ref[0, 0, bsl] = freq_ref[0, 0, bsl] + 1
+
         def emit(mc, pos, mlen, mdist, do_it, b):
             slot = jnp.where(do_it & (mc < CAP_M), mc, CAP_M)
             mpos_ref[0, 0, slot] = pos
@@ -518,16 +535,31 @@ def _make_kernel_hop(cap_g: int):
             iw, mc, b = st
             i = iw[0]
 
+            # literal sprint doubles as the literal histogram: unlike the
+            # table-walk fold (a measured net loss — every decision
+            # iteration paid the branchless histogram), the chase only
+            # runs this body on ACTUAL literals
             def sp_cond(p):
                 return (p < n_valid) & (htab_ref[0, 0, p - start] == 0)
 
-            i = lax.while_loop(sp_cond, lambda p: p + 1, i)
+            def sp_body(p):
+                count_lit(p)
+                return p + 1
+
+            i = lax.while_loop(sp_cond, sp_body, i)
             ht = htab_ref[0, 0, jnp.minimum(i, n_valid - 1) - start]
             do = i < n_valid
             h = (ht >> 23) & 0x7F
             mlen = (ht >> 16) & 0x7F
             dist = ht & 0xFFFF
             ip = i + h
+
+            # the chain's deferred literals (h per match, avg << 1)
+            def cl(p, _):
+                count_lit(p)
+                return 0
+
+            lax.fori_loop(i, jnp.where(do, ip, i), cl, 0)
             mlen = lax.cond(
                 do & (mlen == cap_g),
                 lambda a: extend(
@@ -537,12 +569,31 @@ def _make_kernel_hop(cap_g: int):
                 (ip, mlen, dist),
             )
             mc, b = emit(mc, ip, mlen, dist, do, b)
+            lc, _leb, _lev = _len_sym(mlen)
+            dc, _deb, _dev = _dist_sym(dist)
+            ls = jnp.where(do, 257 + lc, 286)  # 286-287: dead ll slots
+            freq_ref[0, 0, ls] = freq_ref[0, 0, ls] + 1
+            ds = jnp.where(do, 288 + dc, 318)
+            freq_ref[0, 0, ds] = freq_ref[0, 0, ds] + 1
             nxt = jnp.where(do, ip + mlen, n_valid)
             return nxt[None], mc, b
 
         iw, mc, b = lax.while_loop(
             cond, body, (start[None], jnp.int32(0), jnp.bool_(False))
         )
+
+        @pl.when(b)
+        def _():
+            # overflow lane degrades to an all-literal parse downstream —
+            # recount so the histogram matches that parse
+            lax.fori_loop(0, 320, zf, 0)
+
+            def one(p, _):
+                count_lit(p)
+                return 0
+
+            lax.fori_loop(start, n_valid, one, 0)
+
         st_ref[0, 0, 0] = mc
         st_ref[0, 0, 1] = b.astype(jnp.int32)
         st_ref[0, 0, 2] = 0
@@ -578,7 +629,7 @@ def scan_chunks_hop_pallas(
     )
     meta = jnp.pad(meta, ((0, 0), (0, 6))).reshape(B, 1, 8)
     words3 = words4.reshape(B, 1, W)
-    mpos, mld, st = pl.pallas_call(
+    mpos, mld, st, freq = pl.pallas_call(
         _make_kernel_hop(4 * w_g),
         grid=(B,),
         in_specs=[
@@ -590,15 +641,17 @@ def scan_chunks_hop_pallas(
             pl.BlockSpec((1, 1, CAP_M + 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, CAP_M + 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 320), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, CAP_M + 8), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, CAP_M + 8), jnp.uint32),
             jax.ShapeDtypeStruct((B, 1, 8), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 320), jnp.int32),
         ],
         interpret=interpret,
     )(meta, words3, htab.reshape(B, 1, tabn))
-    return mpos[:, 0], mld[:, 0], st[:, 0, 0], st[:, 0, 1] > 0
+    return mpos[:, 0], mld[:, 0], st[:, 0, 0], st[:, 0, 1] > 0, freq[:, 0]
 
 
 @functools.partial(
@@ -1107,12 +1160,21 @@ def freq_pack_chunks_pallas(
     # TWO divergent recomputations — one feeding the pack kernel's code
     # tables, one returned for the host header — producing a header that
     # contradicts the body (chip-debugged in round 3).
-    ll_lens = jax.vmap(dynhuff.code_lengths_kraft)(ll_freq)
-    d_lens = jax.vmap(dynhuff.code_lengths_kraft)(d_freq)
-    ll_lens, d_lens = jax.lax.optimization_barrier((ll_lens, d_lens))
-    ll_codes = jax.vmap(dynhuff.canonical_codes_jax)(ll_lens)
-    d_codes = jax.vmap(dynhuff.canonical_codes_jax)(d_lens)
-    ll_codes, d_codes = jax.lax.optimization_barrier((ll_codes, d_codes))
+    # build BOTH alphabets' trees in ONE vmap over a zero-padded stack:
+    # each Kraft/canonical pass over tiny arrays is latency-bound device
+    # work (~30us/pass), so halving the call count nearly halves the
+    # measured tree stage (1.44 -> ~0.8 ms/batch). Zero-padded symbols
+    # have zero frequency and get no codes, so per-tree results are
+    # identical to separate calls (asserted by the pack-path tests).
+    both_freq = jnp.concatenate(
+        [ll_freq, jnp.pad(d_freq, ((0, 0), (0, 286 - 30)))], axis=0
+    )
+    both_lens = jax.vmap(dynhuff.code_lengths_kraft)(both_freq)
+    both_lens = jax.lax.optimization_barrier(both_lens)
+    both_codes = jax.vmap(dynhuff.canonical_codes_jax)(both_lens)
+    both_codes = jax.lax.optimization_barrier(both_codes)
+    ll_lens, d_lens = both_lens[:B], both_lens[B:, :30]
+    ll_codes, d_codes = both_codes[:B], both_codes[B:, :30]
     lltab = (ll_codes.astype(jnp.uint32)
              | (ll_lens.astype(jnp.uint32) << 16)).reshape(B, 1, 286)
     lltab = jnp.pad(lltab, ((0, 0), (0, 0), (0, 2)))

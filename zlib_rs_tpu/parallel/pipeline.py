@@ -215,12 +215,19 @@ def _encode_batch(
                     mlazy - 3 < 128 and 4 * wg < 128
                     and os.environ.get("ZRS_TPU_HOPSCAN", "1") != "0"
                 )
-                scan = scan_chunks_hop_pallas if use_hop else scan_chunks_tab_pallas
-                mpos, mld, nmatch, kbad = scan(
-                    w4, n_valid, valid_from.astype(jnp.int32),
-                    start=int(dict_size), depth=chain, nice=nice, good=good,
-                    max_lazy=mlazy, w_g=wg, interpret=interp,
-                )
+                kfreq = None
+                if use_hop:
+                    mpos, mld, nmatch, kbad, kfreq = scan_chunks_hop_pallas(
+                        w4, n_valid, valid_from.astype(jnp.int32),
+                        start=int(dict_size), depth=chain, nice=nice,
+                        good=good, max_lazy=mlazy, w_g=wg, interpret=interp,
+                    )
+                else:
+                    mpos, mld, nmatch, kbad = scan_chunks_tab_pallas(
+                        w4, n_valid, valid_from.astype(jnp.int32),
+                        start=int(dict_size), depth=chain, nice=nice,
+                        good=good, max_lazy=mlazy, w_g=wg, interpret=interp,
+                    )
             else:
                 mpos, mld, nmatch, kbad = scan_chunks_pallas(
                     w4, n_valid, starts, valid_from.astype(jnp.int32),
@@ -231,7 +238,7 @@ def _encode_batch(
             # the same fallback the positional wrapper applied
             nm_eff = jnp.where(kbad, 0, nmatch)
             res = freq_pack_chunks_pallas(
-                chunks, n_valid, starts, mpos, mld, nm_eff,
+                chunks, n_valid, starts, mpos, mld, nm_eff, kfreq,
                 n_seeds=n_seeds, interpret=interp,
             )
             if n_seeds:
