@@ -262,3 +262,18 @@ def test_hop_fold_freq_byte_identical_pipeline(monkeypatch):
     b = P.compress_parallel(data, level=6, chunk_size=32 * 1024)
     assert _z.decompress(a) == data
     assert a == b, "hop fold diverged from the freq kernel"
+
+
+@pytest.mark.parametrize("level", [7, 9])
+def test_kernel_engine_deep_levels_roundtrip(level, monkeypatch):
+    """Levels with deep chains must stay functional through the kernel
+    engine: 7 rides the vectorized matcher, 9 falls back to the chain-walk
+    kernel (the table stage scales linearly in max_chain)."""
+    import zlib as _z
+
+    monkeypatch.setenv("ZRS_TPU_KERNEL", "1")
+    from zlib_rs_tpu.parallel import pipeline as P
+
+    data = _gen(31, n=20000, maxcopy=100) + b"x" * 2000
+    out = P.compress_parallel(data, level=level, chunk_size=16 * 1024)
+    assert _z.decompress(out) == data

@@ -1035,6 +1035,9 @@ def _pack_kernel(
         return lax.while_loop(s_cond, s_body, st)
 
     def lits(st, frm, to):
+        # (a paired-emission variant — two lookups + one fused put — was
+        # built and chip-measured NEUTRAL, the recurring issue-bound
+        # lesson: the put ALU already hides under the table-load latency)
         def one(p, s):
             s = seed_check(s, p)
             acc, cnt, owi, b, sidx = s

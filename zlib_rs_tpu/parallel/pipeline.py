@@ -201,7 +201,12 @@ def _encode_batch(
                 | (bb[:, :, 3] << 24)
             )
             w4 = jnp.concatenate([w4, jnp.zeros((B, 2), jnp.uint32)], axis=1)
-            if os.environ.get("ZRS_TPU_TABSCAN", "1") != "0":
+            kfreq = None
+            # the vectorized matcher's table stage scales LINEARLY in
+            # max_chain (one rolled compare pass per chain step), so deep
+            # chains (levels 8-9: 1024/4096) keep the SMEM chain-walk
+            # kernel, whose budgeted walk visits only real candidates
+            if chain <= 256 and os.environ.get("ZRS_TPU_TABSCAN", "1") != "0":
                 # round-4 vectorized matcher: candidate compares AND (for
                 # levels whose lazy chain fits the hop encoding) the lazy
                 # decisions themselves run on the VPU (ops/lzvec); the
@@ -215,7 +220,6 @@ def _encode_batch(
                     mlazy - 3 < 128 and 4 * wg < 128
                     and os.environ.get("ZRS_TPU_HOPSCAN", "1") != "0"
                 )
-                kfreq = None
                 if use_hop:
                     mpos, mld, nmatch, kbad, kfreq = scan_chunks_hop_pallas(
                         w4, n_valid, valid_from.astype(jnp.int32),
