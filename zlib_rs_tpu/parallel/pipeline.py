@@ -154,17 +154,37 @@ def _level_knobs(level: int) -> dict:
     return dict(chain_depth=24, max_words=64, lazy=True, kernel_cfg=kcfg)
 
 
+def _resolve_kernel_variant(kernel_cfg) -> tuple[str, int]:
+    """Pick the kernel-engine matcher variant from the env + level knobs
+    OUTSIDE jit (env reads inside a traced function are frozen into the
+    first trace — a toggled env var would silently hit the stale cache).
+
+    Returns (variant, w_g): "hop" (vectorized tables + vectorized lazy
+    chain, the default), "tab" (vectorized tables + table-walk parse), or
+    "chain" (the round-3 SMEM chain walk — also the deep-chain route:
+    the table stage scales linearly in max_chain, so levels 8-9 keep the
+    budgeted walk that only visits real candidates)."""
+    _good, mlazy, _nice, chain = kernel_cfg or (8, 16, 128, 128)
+    wg = int(os.environ.get("ZRS_TPU_WG", "8"))
+    if chain > 256 or os.environ.get("ZRS_TPU_TABSCAN", "1") == "0":
+        return "chain", wg
+    if (mlazy - 3 < 128 and 4 * wg < 128
+            and os.environ.get("ZRS_TPU_HOPSCAN", "1") != "0"):
+        return "hop", wg
+    return "tab", wg
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "chunk_size", "chain_depth", "max_words", "lazy", "dynamic", "dict_size",
-        "n_seeds", "kernel_scan", "kernel_cfg",
+        "n_seeds", "kernel_scan", "kernel_cfg", "kernel_variant", "w_g",
     ),
 )
 def _encode_batch(
     chunks, n_valid, finals, valid_from=None, *,
     chunk_size, chain_depth, max_words, lazy, dynamic, dict_size=0, n_seeds=0,
-    kernel_scan=False, kernel_cfg=None,
+    kernel_scan=False, kernel_cfg=None, kernel_variant=None, w_g=None,
 ):
     """vmap'd chunk encoder: uint8[B, dict+chunk+PAD] -> block payloads.
 
@@ -202,36 +222,33 @@ def _encode_batch(
             )
             w4 = jnp.concatenate([w4, jnp.zeros((B, 2), jnp.uint32)], axis=1)
             kfreq = None
-            # the vectorized matcher's table stage scales LINEARLY in
-            # max_chain (one rolled compare pass per chain step), so deep
-            # chains (levels 8-9: 1024/4096) keep the SMEM chain-walk
-            # kernel, whose budgeted walk visits only real candidates
-            if chain <= 256 and os.environ.get("ZRS_TPU_TABSCAN", "1") != "0":
-                # round-4 vectorized matcher: candidate compares AND (for
-                # levels whose lazy chain fits the hop encoding) the lazy
-                # decisions themselves run on the VPU (ops/lzvec); the
-                # scalar kernel is a table walk or a pure pointer chase
-                from ..ops.pallas.deflate_kernel import (
-                    scan_chunks_hop_pallas, scan_chunks_tab_pallas,
-                )
+            # callers that can (compress_parallel) resolve the variant
+            # OUTSIDE jit so env toggles re-trace; direct callers get the
+            # same resolution frozen at first trace
+            variant, wg = (
+                (kernel_variant, w_g)
+                if kernel_variant is not None
+                else _resolve_kernel_variant(kernel_cfg)
+            )
+            if variant == "hop":
+                # round-4 vectorized matcher: candidate compares AND the
+                # lazy decisions run on the VPU (ops/lzvec); the scalar
+                # kernel is a pure pointer chase
+                from ..ops.pallas.deflate_kernel import scan_chunks_hop_pallas
 
-                wg = int(os.environ.get("ZRS_TPU_WG", "8"))
-                use_hop = (
-                    mlazy - 3 < 128 and 4 * wg < 128
-                    and os.environ.get("ZRS_TPU_HOPSCAN", "1") != "0"
+                mpos, mld, nmatch, kbad, kfreq = scan_chunks_hop_pallas(
+                    w4, n_valid, valid_from.astype(jnp.int32),
+                    start=int(dict_size), depth=chain, nice=nice,
+                    good=good, max_lazy=mlazy, w_g=wg, interpret=interp,
                 )
-                if use_hop:
-                    mpos, mld, nmatch, kbad, kfreq = scan_chunks_hop_pallas(
-                        w4, n_valid, valid_from.astype(jnp.int32),
-                        start=int(dict_size), depth=chain, nice=nice,
-                        good=good, max_lazy=mlazy, w_g=wg, interpret=interp,
-                    )
-                else:
-                    mpos, mld, nmatch, kbad = scan_chunks_tab_pallas(
-                        w4, n_valid, valid_from.astype(jnp.int32),
-                        start=int(dict_size), depth=chain, nice=nice,
-                        good=good, max_lazy=mlazy, w_g=wg, interpret=interp,
-                    )
+            elif variant == "tab":
+                from ..ops.pallas.deflate_kernel import scan_chunks_tab_pallas
+
+                mpos, mld, nmatch, kbad = scan_chunks_tab_pallas(
+                    w4, n_valid, valid_from.astype(jnp.int32),
+                    start=int(dict_size), depth=chain, nice=nice,
+                    good=good, max_lazy=mlazy, w_g=wg, interpret=interp,
+                )
             else:
                 mpos, mld, nmatch, kbad = scan_chunks_pallas(
                     w4, n_valid, starts, valid_from.astype(jnp.int32),
@@ -591,10 +608,15 @@ def compress_parallel(
             dn = jnp.asarray(n_valid_dev[sl])
             df = jnp.asarray(finals_dev[sl])
             dv = jnp.asarray(valid_from_dev[sl])
+        kv, kwg = (
+            _resolve_kernel_variant(knobs.get("kernel_cfg"))
+            if kernel_scan else (None, None)
+        )
         words, bits, ll_lens, d_lens, sbit, sout = _encode_batch(
             dc, dn, df, dv,
             chunk_size=chunk_size, dynamic=dynamic, dict_size=dict_size,
-            n_seeds=n_seeds, kernel_scan=kernel_scan, **knobs
+            n_seeds=n_seeds, kernel_scan=kernel_scan,
+            kernel_variant=kv, w_g=kwg, **knobs
         )
         adlers = _adler_batch_best(
             dc[:, dict_size : dict_size + chunk_size], dn - dict_size
