@@ -277,3 +277,42 @@ def test_kernel_engine_deep_levels_roundtrip(level, monkeypatch):
     data = _gen(31, n=20000, maxcopy=100) + b"x" * 2000
     out = P.compress_parallel(data, level=level, chunk_size=16 * 1024)
     assert _z.decompress(out) == data
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_hop_tab_fuzz_equivalence(seed):
+    """Randomized structures (runs, random tails, periodic data, sparse
+    matches) — hop chase and table walk must emit identical streams."""
+    import jax.numpy as jnp
+
+    from zlib_rs_tpu.ops.pallas.deflate_kernel import (
+        scan_chunks_hop_pallas, scan_chunks_tab_pallas,
+    )
+
+    rng = np.random.default_rng(100 + seed)
+    parts = []
+    for _ in range(6):
+        kind = rng.integers(0, 4)
+        n = int(rng.integers(64, 2000))
+        if kind == 0:
+            parts.append(bytes([int(rng.integers(0, 256))]) * n)
+        elif kind == 1:
+            parts.append(rng.integers(0, 256, n).astype(np.uint8).tobytes())
+        elif kind == 2:
+            pat = rng.integers(0, 256, int(rng.integers(1, 9))).astype(np.uint8).tobytes()
+            parts.append((pat * (n // len(pat) + 1))[:n])
+        else:
+            parts.append((b"lorem ipsum dolor sit amet %d " % seed) * (n // 28 + 1))
+    data = b"".join(parts)[:8192]
+    w4 = _mk_words(data)
+    nv = jnp.asarray([len(data)], jnp.int32)
+    z = jnp.asarray([0], jnp.int32)
+    knobs = dict(start=0, depth=64, nice=64, good=8, max_lazy=16, w_g=8,
+                 interpret=True)
+    mp0, ml0, nm0, b0 = scan_chunks_tab_pallas(w4, nv, z, **knobs)
+    mp1, ml1, nm1, b1, _f = scan_chunks_hop_pallas(w4, nv, z, **knobs)
+    assert bool(b0[0]) == bool(b1[0])
+    n0 = int(nm0[0])
+    assert n0 == int(nm1[0])
+    assert (np.asarray(mp0)[0][:n0] == np.asarray(mp1)[0][:n0]).all()
+    assert (np.asarray(ml0)[0][:n0] == np.asarray(ml1)[0][:n0]).all()
