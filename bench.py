@@ -24,14 +24,15 @@ Sections reported:
   native        — C++ engine one-shot (byte-identical to zlib => ratio is
                   exactly 1.0) and threaded chunk-parallel, plus one-shot,
                   threaded-parallel and speculative inflate.
-  device        — TPU phases ordered most-valuable-first: SMEM kernel-scan
-                  encode, Pallas inflate kernel, chip-verified kernel-path
-                  ratio, swarm decode, then (only if time remains) the
-                  legacy XLA encode. All throughputs are from jax.profiler
-                  DEVICE traces: on this tunnel-attached chip
-                  block_until_ready does NOT reliably sync — wall-clock
-                  dispatch loops measured up to ~40x optimistic, so the
-                  trace span is the only number treated as real.
+  device        — TPU phases: TRACED phases first (vectorized-matcher
+                  kernel encode, vector decode, Pallas inflate, foreign
+                  kernel, swarm), then the chip-verified kernel-path
+                  ratio in a FRESH subprocess (the tunnel client dies once
+                  too many large programs accumulate — chip-bisected).
+                  All throughputs are from jax.profiler DEVICE traces; a
+                  wall-clock number is banked before each trace attempt
+                  (block_until_ready measured up to ~40x optimistic on
+                  this tunnel, so wall numbers are labeled as such).
   decode_sweep  — chunked-input streaming decode (input fed in 2^N-byte
                   pieces, N=4..24), mirroring blogpost-uncompress.rs.
 
