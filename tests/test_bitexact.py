@@ -336,3 +336,40 @@ class TestNativeEngineByteEquality:
         data = open("/bin/bash", "rb").read()[:300000]
         for level in (1, 6, 9):
             assert z.compress(data, level) == zlib.compress(data, level)
+
+
+class TestSmallWindowByteEquality:
+    """Small windows (wbits 9-14) make zlib's real window SLIDE early, and
+    a block spanning a slide cannot be emitted as stored (trees.c's
+    buf == NULL case) even when stored is cheaper — the round-4 soak found
+    our unbounded-buffer engine choosing stored there. The virtual-slide
+    accounting (Deflator._vslide) reproduces zlib's eligibility, including
+    the per-algorithm fill_window trigger (fast/slow < MIN_LOOKAHEAD,
+    rle <= MAX_MATCH, huff == 0)."""
+
+    @pytest.mark.parametrize("wbits", [-9, 9, -10, -12])
+    @pytest.mark.parametrize("level,strategy,zstrat", [
+        (1, Strategy.Default, 0),
+        (2, Strategy.HuffmanOnly, zlib.Z_HUFFMAN_ONLY),
+        (3, Strategy.Rle, zlib.Z_RLE),
+        (4, Strategy.Fixed, zlib.Z_FIXED),
+        (6, Strategy.Default, 0),
+        (9, Strategy.Filtered, zlib.Z_FILTERED),
+    ])
+    def test_small_window_slide_points(self, wbits, level, strategy, zstrat):
+        import numpy as np
+
+        rng = np.random.default_rng(42)
+        # incompressible-ish data makes STORED win whenever eligible, so
+        # any slide-accounting error flips the block choice immediately;
+        # sizes straddle the first slide point (2*wsize - MIN_LOOKAHEAD)
+        data = rng.integers(0, 256, 70000).astype(np.uint8).tobytes()
+        w = abs(wbits)
+        first_slide = 2 * (1 << w) - 262
+        for n in (first_slide - 1, first_slide, first_slide + 1,
+                  3 * (1 << w), 70000):
+            ours = ours_oneshot(data[:n], level, wbits=wbits, mem_level=5,
+                                strategy=strategy)
+            ref = zoracle(data[:n], level, wbits=wbits, mem_level=5,
+                          strategy=zstrat)
+            assert ours == ref, (wbits, level, n)

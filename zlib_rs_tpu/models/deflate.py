@@ -222,6 +222,18 @@ class Deflator:
         self.strstart = 0  # next position to process (absolute)
         self.inserted = 0  # positions hashed so far (absolute)
         self.block_start = 0  # first byte of the current block (absolute)
+        # zlib window-slide accounting (fill_window, deflate.rs:1768-1786):
+        # the REAL zlib slides its 2*wsize window buffer at the first
+        # scanned position whose window-relative offset reaches
+        # 2*wsize - MIN_LOOKAHEAD, and a block that began before the last
+        # slide CANNOT be emitted as stored (zng_tr_flush_block's
+        # buf == NULL case) even when stored is cheaper. We keep the whole
+        # buffer, so we track the slides virtually: _slid = absolute
+        # position of zlib's window base (slides * wsize), _abs_drop =
+        # bytes pruned off our buffer (to keep positions absolute).
+        self._slid = 0
+        self._abs_drop = 0
+        self._vthr = 2 * self.wsize - MIN_LOOKAHEAD
         self.base = 0  # output starts here (bytes before are dictionary)
         self.sym_dist: list[int] = []
         self.sym_lit: list[int] = []
@@ -411,6 +423,7 @@ class Deflator:
         self.prev = np.where(self.prev >= drop, self.prev - drop, -1)
         self.strstart -= drop
         self.block_start -= drop
+        self._abs_drop += drop
         self.inserted = max(0, self.inserted - drop)
         self.base = max(0, self.base - drop)
         # lazy-state positions live within the window of strstart
@@ -624,6 +637,8 @@ class Deflator:
     def _deflate_huff(self, limit: int) -> None:
         """Strategy HuffmanOnly: literals only (reference: algorithm/huff.rs)."""
         while self.strstart < limit:
+            if self.strstart + self._abs_drop - self._slid >= self._vthr:
+                self._vslide(self.strstart, 1)  # huff fills at lookahead == 0
             self._tally_lit(self.buf[self.strstart])
             self.strstart += 1
             if self._sym_full():
@@ -639,6 +654,8 @@ class Deflator:
         n = len(buf)
         while self.strstart < limit:
             pos = self.strstart
+            if pos + self._abs_drop - self._slid >= self._vthr:
+                self._vslide(pos, MAX_MATCH + 1)  # rle fills at lookahead <= MAX_MATCH
             ml = 0
             lookahead = n - pos
             if lookahead >= MIN_MATCH and pos > self._nil_pos:
@@ -674,6 +691,8 @@ class Deflator:
         max_dist = self.wsize - MIN_LOOKAHEAD
         while self.strstart < limit:
             pos = self.strstart
+            if pos + self._abs_drop - self._slid >= self._vthr:
+                self._vslide(pos)
             hash_head = -1
             if pos < nh:
                 self._insert_hashes_upto(pos + 1)
@@ -708,6 +727,8 @@ class Deflator:
         max_dist = self.wsize - MIN_LOOKAHEAD
         while self.strstart < limit:
             pos = self.strstart
+            if pos + self._abs_drop - self._slid >= self._vthr:
+                self._vslide(pos)
             hash_head = -1
             if pos < nh:
                 self._insert_hashes_upto(pos + 1)
@@ -792,6 +813,21 @@ class Deflator:
             i += take
             self._block_types.append("stored")
 
+    def _vslide(self, pos: int, thr: int = MIN_LOOKAHEAD) -> None:
+        """Slow path of the per-position slide check (see reset() comment).
+
+        zlib only reaches the slide test inside fill_window, whose call is
+        gated per algorithm class: deflate_fast/slow fill when
+        lookahead < MIN_LOOKAHEAD (thr=262), deflate_rle when
+        lookahead <= MAX_MATCH (thr=259), deflate_huff when lookahead == 0
+        (thr=1) — where lookahead is measured against what fits the REAL
+        2*wsize window buffer, not our unbounded one."""
+        a = pos + self._abs_drop
+        loaded = min(len(self.buf) + self._abs_drop, self._slid + 2 * self.wsize)
+        if loaded - a < thr:
+            while a - self._slid >= self._vthr:
+                self._slid += self.wsize
+
     def _flush_block(self, last: bool) -> None:
         """Emit the buffered symbols as one block via the zlib-exact tree
         layer (models/trees.py): heap-built dynamic trees with zlib's exact
@@ -817,6 +853,7 @@ class Deflator:
             last,
             self.level,
             self.strategy,
+            stored_ok=(self.block_start + self._abs_drop) >= self._slid,
         )
         self._block_types.append(kind)
         self.sym_dist.clear()
@@ -917,6 +954,16 @@ class Deflator:
         stored_func = self.level == 0 or self.func == "stored"
         if final or flush != DeflateFlush.NO_FLUSH:
             self._compress_pending_input(final=True, finish=final)
+            # zlib's scan loop runs fill_window once more at the terminal
+            # strstart before flushing (the slide check included) — mirror
+            # that so stored-eligibility at the flush matches
+            if not stored_func:
+                thr = (
+                    1 if self.strategy == Strategy.HuffmanOnly
+                    else MAX_MATCH + 1 if self.strategy == Strategy.Rle
+                    else MIN_LOOKAHEAD
+                )
+                self._vslide(self.strstart, thr)
         else:
             self._compress_pending_input(final=False)
 

@@ -355,6 +355,7 @@ def flush_block(
     last: bool,
     level: int,
     strategy: Strategy,
+    stored_ok: bool = True,
 ) -> str:
     """zlib's _tr_flush_block: build trees, pick stored/static/dynamic by
     whole-byte cost, emit. Returns the chosen kind for observability.
@@ -407,8 +408,12 @@ def flush_block(
     else:
         opt_lenb = static_lenb = stored_len + 5
 
-    if stored_len + 4 <= opt_lenb:
-        # stored wins (also the level-0 path); requires whole bytes on hand
+    if stored_len + 4 <= opt_lenb and stored_ok:
+        # stored wins (also the level-0 path); requires whole bytes on
+        # hand — stored_ok=False models zlib's buf==NULL case: the block
+        # spans a window slide, so the REAL zlib no longer has its bytes
+        # and emits static/dynamic even though stored is cheaper
+        # (zng_tr_flush_block, deflate.rs:2367-2402)
         assert stored_len <= 0xFFFF or level == 0
         _emit_stored(bw, pending, block_bytes, last)
         return "stored"
