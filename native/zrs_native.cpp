@@ -1958,6 +1958,13 @@ struct DefStream {
     // the unflushed block bytes (stored emission reads base + block_start)
     size_t keep = d.spos > (size_t)WSIZE ? d.spos - WSIZE : 0;
     keep = std::min(keep, d.block_start);
+    // prevd/prevd4 chain slots are keyed by pos & (WSIZE-1): the stored
+    // DELTAS are rebase-free, but the slot a delta lives in is only
+    // preserved when the rebase offset is a multiple of WSIZE (zlib's
+    // slide is always exactly w_size for the same reason). An arbitrary
+    // offset silently degrades match selection (r4 advisor: streaming
+    // output diverged from zlib past ~1 MiB).
+    keep &= ~((size_t)WSIZE - 1);
     if (keep < (1u << 20)) return;  // amortize the memmove
     data.erase(data.begin(), data.begin() + (long)keep);
     d.spos -= keep;
@@ -2387,6 +2394,16 @@ long zrs_dstream_pump(void* s, const uint8_t* in, size_t nin, int flush) {
 
 long zrs_dstream_read(void* s, uint8_t* out, size_t cap) {
   return ((DefStream*)s)->read(out, cap);
+}
+
+// last <=32 KiB of input seen by the stream (the live match window).
+// Called at a flush seam (spos == data.size()); lets the Python layer
+// migrate a fast-path stream onto the exact engine with its window intact.
+long zrs_dstream_window(void* sv, uint8_t* out, size_t cap) {
+  DefStream* s = (DefStream*)sv;
+  size_t n = std::min<size_t>(std::min<size_t>(s->data.size(), WSIZE), cap);
+  if (n) std::memcpy(out, s->data.data() + (s->data.size() - n), n);
+  return (long)n;
 }
 
 // zran index build: decode the whole raw stream once, recording access

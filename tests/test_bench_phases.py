@@ -68,6 +68,41 @@ def test_bench_corpus_deterministic():
     assert len(a) == bench.TARGET_SIZE
 
 
+def test_bench_compact_final_line():
+    # VERDICT r4 weak #1: the driver's tail window truncated the head of
+    # the ~4KB full-result line in every round so far (parsed=null).  The
+    # LAST stdout line must now be a compact JSON under 500 bytes that
+    # still carries the headline keys, even with every field populated.
+    import json
+
+    result = {
+        "metric": "parallel_deflate_level6_device_gbps",
+        "value": 0.12345,
+        "unit": "GB/s",
+        "vs_baseline": 12.3456,
+        "ratio_vs_zlib": 0.9961,
+        "elapsed_s": 1234.5,
+        "native": {
+            "inflate_gbps": 0.1054,
+            "parallel_inflate_gbps": 0.3806,
+        },
+    }
+    device = {
+        "vector_decode_trace_gbps": 0.21186,
+        "kernel_e2e_wall_gbps": 0.01534,
+    }
+    compact = bench._compact_result(result, device)
+    line = json.dumps(compact)
+    assert len(line) < 500, f"compact line {len(line)} bytes"
+    reparsed = json.loads(line[-min(len(line), 2000):])  # tail-window sim
+    assert reparsed["metric"] == result["metric"]
+    assert reparsed["value"] == 0.12345
+    assert reparsed["unit"] == "GB/s"
+    assert reparsed["vs_baseline"] == 12.3456
+    assert reparsed["kernel_ratio"] == 0.9961
+    assert reparsed["vector_decode_gbps"] == 0.21186
+
+
 def test_bench_emits_json_before_kill():
     # VERDICT r3 item 2: the driver may kill bench.py at any point (wedged
     # tunnel). A parseable result JSON line must already be on stdout

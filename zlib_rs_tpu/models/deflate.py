@@ -257,6 +257,7 @@ class Deflator:
         self._match_start = 0  # absolute position of that match's source
         self._prev_length = MIN_MATCH - 1  # rolled at each slow-loop step
         self._prev_start = 0
+        self._last_flush = -2  # zlib deflateResetKeep: rank below everything
         self._block_types: list[str] = []  # introspection: emitted block kinds
         self._n_literals = 0  # observability counters (SURVEY.md section 5:
         self._n_matches = 0   # "counters as returned arrays — jit-friendly")
@@ -939,6 +940,20 @@ class Deflator:
             if data:
                 return ReturnCode.StreamError
             return ReturnCode.StreamEnd
+        # zlib's last_flush rank rule (deflate.c deflate() entry): a flush
+        # call with no input, no pending output, and a rank not above the
+        # previous call's flush is a no-op Z_BUF_ERROR — this is what makes
+        # repeated empty SYNC_FLUSHes emit NOTHING instead of stacking
+        # 5-byte empty stored seams (r4 advisor, medium).
+        old_flush = self._last_flush
+        self._last_flush = int(flush)
+        if (
+            not data
+            and not self.pending
+            and _rank_flush(int(flush)) <= _rank_flush(old_flush)
+            and flush != DeflateFlush.FINISH
+        ):
+            return ReturnCode.BufError
         if not self.header_emitted:
             self._emit_header()
         data = bytes(data)
@@ -1010,6 +1025,12 @@ class Deflator:
             del self.pending[:budget]
         self.total_out += len(out)
         return out
+
+
+def _rank_flush(f: int) -> int:
+    """zlib's RANK macro: orders flush values NO < BLOCK < PARTIAL < SYNC <
+    FULL < FINISH (Z_BLOCK=5 folds between NO_FLUSH and PARTIAL_FLUSH)."""
+    return f * 2 - (9 if f > 4 else 0)
 
 
 def compress_bound(source_len: int, config: DeflateConfig = DeflateConfig()) -> int:

@@ -78,6 +78,8 @@ class FastInflateEngine:
         self._gz_need = 0
         self._pending_in = b""     # post-body tail bytes not yet parsed
         self.unused_tail = b""     # input beyond the member, after DONE
+        self._more = False         # native handle has output queued
+        self._gz_crc = 0           # crc32 over header bytes (FHCRC check)
 
     # -- helpers -----------------------------------------------------------
 
@@ -152,26 +154,57 @@ class FastInflateEngine:
         # ---- raw body through the native handle --------------------------
         out = b""
         if self._state == self._BODY:
-            feed = self._pending_in + data
-            self._pending_in = b""
-            try:
-                out, _more = self._raw.pump(feed, out_budget)
-            except ValueError:
-                self.total_in += len(data)
-                return self._fail("invalid deflate data")
-            consumed += len(data)
-            self.total_in += len(data)
+            fed = 0
+            if self._more:
+                # output from an earlier feed is still queued in the
+                # handle: zlib would not consume fresh input while
+                # avail_out blocks progress, so hold `data` back and
+                # drain first (it stays unconsumed for the caller)
+                out, self._more = self._raw.pump(b"", out_budget)
+            else:
+                feed = self._pending_in + data
+                self._pending_in = b""
+                fed = len(data)
+                out, self._more = self._raw.pump(feed, out_budget)
+                consumed += fed
+                self.total_in += fed
+            if self._raw.error:
+                # the valid prefix decoded before the corruption is
+                # served alongside the error, like zlib (r4 advisor)
+                self.total_out += len(out)
+                self._state = self._BAD
+                self.msg = "invalid deflate data"
+                return ReturnCode.DataError, consumed, out
             self.total_out += len(out)
-            data = b""  # fully absorbed; any residue returns via take_tail
             if out:
                 if self.detected_wrap == Wrap.Gzip:
                     self.check = native.crc32(out, self.check)
                 elif self.detected_wrap == Wrap.Zlib:
                     self.check = native.adler32(out, self.check)
             if self._raw.done:
-                self._pending_in = self._raw.take_tail()
+                # input past the deflate body must NOT count as consumed
+                # (r4 advisor, high: consumed==len(data) absorbed the next
+                # member / trailer tail, breaking avail_in semantics for
+                # concatenated-stream consumers). The suffix of `data`
+                # that landed in the tail is handed back; bytes over-fed
+                # in EARLIER calls (already reported consumed then) go to
+                # _pending_in, which later stages drain without counting.
+                tail = self._raw.take_tail_all()
+                from_data = min(len(tail), fed)
+                if from_data:
+                    consumed -= from_data
+                    self.total_in -= from_data
+                    data = data[len(data) - from_data:]
+                else:
+                    data = b""
+                self._pending_in = tail[: len(tail) - from_data]
                 self._state = self._TRAILER
                 if self.detected_wrap == Wrap.Raw:
+                    # the suffix of THIS call's data is already returned
+                    # via `consumed`; only bytes over-fed in earlier calls
+                    # need the unused_tail escape hatch
+                    self.unused_tail = self._pending_in
+                    self._pending_in = b""
                     self._state = self._DONE
                     return ReturnCode.StreamEnd, consumed, out
             else:
@@ -284,7 +317,11 @@ class FastInflateEngine:
             return taken
 
         # gzip: stage machine over (magic+static 10 bytes), extra, name,
-        # comment, hcrc
+        # comment, hcrc. When FHCRC is set, crc32 is folded over every
+        # header byte as it is consumed and verified against the stored
+        # crc16 — the exact engine and zlib both reject a corrupted header
+        # here; skipping the check made corruption detection depend on
+        # which engine happened to be built (r4 advisor, medium).
         while True:
             if self._gz_stage == 0:
                 while len(buf) < 10 and taken < len(data):
@@ -299,6 +336,8 @@ class FastInflateEngine:
                 if self._gz_flg & 0xE0:
                     self.msg = "unknown header flags set"
                     return -1
+                if self._gz_flg & 0x02:
+                    self._gz_crc = native.crc32(bytes(buf), 0)
                 buf.clear()
                 self._gz_stage = 1
             if self._gz_stage == 1:  # FEXTRA
@@ -309,12 +348,18 @@ class FastInflateEngine:
                     if len(buf) < 2:
                         return taken
                     self._gz_need = buf[0] | (buf[1] << 8)
+                    if self._gz_flg & 0x02:
+                        self._gz_crc = native.crc32(bytes(buf), self._gz_crc)
                     buf.clear()
                     self._gz_stage = 2
                 else:
                     self._gz_stage = 3
             if self._gz_stage == 2:  # extra payload
                 skip = min(self._gz_need, len(data) - taken)
+                if skip and self._gz_flg & 0x02:
+                    self._gz_crc = native.crc32(
+                        data[taken : taken + skip], self._gz_crc
+                    )
                 taken += skip
                 self._gz_need -= skip
                 if self._gz_need:
@@ -322,12 +367,17 @@ class FastInflateEngine:
                 self._gz_stage = 3
             if self._gz_stage == 3:  # FNAME
                 if self._gz_flg & 0x08:
+                    start = taken
                     while taken < len(data):
                         b = data[taken]
                         taken += 1
                         if b == 0:
                             self._gz_stage = 4
                             break
+                    if self._gz_flg & 0x02 and taken > start:
+                        self._gz_crc = native.crc32(
+                            data[start:taken], self._gz_crc
+                        )
                     if self._gz_stage != 4:
                         return taken
                 else:
@@ -335,12 +385,17 @@ class FastInflateEngine:
             if self._gz_stage == 4:  # FCOMMENT
                 if self._gz_flg & 0x10:
                     done = False
+                    start = taken
                     while taken < len(data):
                         b = data[taken]
                         taken += 1
                         if b == 0:
                             done = True
                             break
+                    if self._gz_flg & 0x02 and taken > start:
+                        self._gz_crc = native.crc32(
+                            data[start:taken], self._gz_crc
+                        )
                     if not done:
                         return taken
                 self._gz_stage = 5
@@ -351,7 +406,11 @@ class FastInflateEngine:
                         taken += 1
                     if len(buf) < 2:
                         return taken
+                    stored = buf[0] | (buf[1] << 8)
                     buf.clear()
+                    if stored != (self._gz_crc & 0xFFFF):
+                        self.msg = "header crc mismatch"
+                        return -1
                 self.check = 0
                 self._raw = native.RawInflateStream()
                 self._state = self._BODY
@@ -405,6 +464,7 @@ class FastDeflateEngine:
         self.data_type = 2  # unknown (the native engine doesn't classify)
         self.finished = False
         self._header_emitted = False
+        self._last_flush = -2  # zlib deflateResetKeep sentinel
         self.adler = 1
         self.crc = 0
 
@@ -453,6 +513,19 @@ class FastDeflateEngine:
         if flush not in (F.NO_FLUSH, F.SYNC_FLUSH, F.FULL_FLUSH, F.FINISH):
             return ReturnCode.StreamError  # caller de-opts before engaging
         data = bytes(data)
+        # zlib's last_flush rank rule (mirrors models/deflate.py): repeated
+        # empty flushes at or below the previous rank emit nothing
+        from .deflate import _rank_flush
+
+        old_flush = self._last_flush
+        self._last_flush = int(flush)
+        if (
+            not data
+            and not self.pending
+            and _rank_flush(int(flush)) <= _rank_flush(old_flush)
+            and flush != F.FINISH
+        ):
+            return ReturnCode.BufError
         if not self._header_emitted:
             self._emit_header()
         if data:
@@ -491,6 +564,43 @@ class FastDeflateEngine:
         clone.pending = bytearray(self.pending)
         clone._raw = self._raw.copy()
         return clone
+
+    def migrate_to_exact(self):
+        """Build an exact Deflator that continues this stream mid-flight.
+
+        The native scanner is drained to a byte-aligned seam (the 5-byte
+        empty stored block a SYNC_FLUSH costs) and the live 32 KiB match
+        window is carried over as primed history, so the exact-only APIs
+        (deflateParams mid-stream, PARTIAL_FLUSH/BLOCK, prime,
+        set_dictionary) keep working after the fast path engaged instead
+        of raising StreamError (r4 advisor, medium). Output before and
+        after the seam is valid zlib output; only the seam itself deviates
+        from what a never-engaged exact stream would have emitted.
+        """
+        from .deflate import Deflator
+
+        eng = Deflator(self.config)
+        if not self._header_emitted:
+            return eng  # nothing processed yet: fresh exact state
+        if not self.finished:
+            self.pending.extend(self._raw.pump(b"", 2))  # byte-align
+        window = self._raw.window()
+        eng.header_emitted = True
+        eng.finished = self.finished
+        eng.adler = self.adler
+        eng.crc = self.crc
+        eng.total_in = self.total_in
+        eng.total_out = self.total_out
+        eng.pending.extend(self.pending)
+        if window and not self.finished:
+            # prime the match window exactly like set_dictionary does
+            # (positions become history, not emitted output)
+            eng._append_input(window)
+            eng.strstart = len(eng.buf)
+            eng.block_start = eng.strstart
+            eng.base = eng.strstart
+            eng._insert_hashes_upto(eng.strstart)
+        return eng
 
     def params(self, level: int, strategy=None) -> "ReturnCode":
         """deflateParams subset for the gz write path (gzsetparams,

@@ -68,6 +68,17 @@ class Deflate:
         if self._fast is None:
             self._fast_ok = False
 
+    def _to_exact(self) -> None:
+        """Migrate an ENGAGED fast stream onto the exact engine at a
+        byte-aligned seam, carrying the 32 KiB window (r4 advisor: params/
+        prime/PARTIAL_FLUSH/BLOCK used to raise StreamError mid-stream
+        once the fast path engaged; zlib supports them all)."""
+        if self._fast is not None:
+            self._eng = self._fast.migrate_to_exact()
+            self._finished = self._fast.finished
+            self._fast = None
+            self._fast_ok = False
+
     # introspection
     @property
     def total_in(self) -> int:
@@ -92,26 +103,28 @@ class Deflate:
 
     def set_dictionary(self, dictionary: bytes) -> None:
         self._deopt()
+        self._to_exact()
         rc = self._eng.set_dictionary(dictionary)
         if rc != ReturnCode.Ok:
             raise DeflateError(rc)
 
     def set_header(self, head) -> None:
         self._deopt()
+        self._to_exact()  # engaged => header already written => StreamError
         rc = self._eng.set_header(head)
         if rc != ReturnCode.Ok:
             raise DeflateError(rc)
 
     def params(self, level: int, strategy: Strategy = Strategy.Default) -> None:
         self._deopt()
-        if self._fast is not None:
-            raise DeflateError(ReturnCode.StreamError)
+        self._to_exact()
         rc = self._eng.params(level, strategy)
         if rc != ReturnCode.Ok:
             raise DeflateError(rc)
 
     def prime(self, bits: int, value: int) -> None:
         self._deopt()
+        self._to_exact()
         rc = self._eng.prime(bits, value)
         if rc != ReturnCode.Ok:
             raise DeflateError(rc)
@@ -140,6 +153,10 @@ class Deflate:
             from . import faststream
 
             self._fast = faststream.FastDeflateEngine(self.config)
+        if self._fast is not None and flush in (
+            DeflateFlush.PARTIAL_FLUSH, DeflateFlush.BLOCK
+        ):
+            self._to_exact()  # flush modes the native scanner lacks
         eng = self._fast if self._fast is not None else self._eng
         had_pending = len(eng.pending) > 0
         if self._finished and input:
@@ -147,6 +164,10 @@ class Deflate:
         rc = eng.deflate(input, flush)
         if rc == ReturnCode.StreamEnd:
             self._finished = True
+        elif rc == ReturnCode.BufError:
+            # zlib's no-progress flush rule (repeated empty flush): not an
+            # exception — the z_stream contract reports it as a status
+            return Status.BufError, 0, eng.take_output(out_budget)
         elif rc != ReturnCode.Ok:
             raise DeflateError(rc)
         out = eng.take_output(out_budget)

@@ -388,8 +388,11 @@ class RawInflateStream:
 
     def pump(self, data: bytes, max_out: int | None) -> tuple[bytes, bool]:
         """Feed `data` (always fully absorbed) and return up to `max_out`
-        output bytes; (output, more_pending). Raises ValueError on corrupt
-        deflate data. After `done`, use take_tail() for trailer bytes."""
+        output bytes; (output, more_pending). On corrupt deflate data the
+        bytes decoded BEFORE the error are still returned and `self.error`
+        is set — zlib serves the valid prefix alongside Z_DATA_ERROR, and
+        raising here used to throw that prefix away (r4 advisor, low).
+        After `done`, use take_tail() for trailer bytes."""
         cap = max_out if max_out is not None else max(len(data) * 4, 1 << 16)
         out_parts = []
         flags = ctypes.c_int(0)
@@ -408,7 +411,7 @@ class RawInflateStream:
             _outbuf_release(arr)
             if flags.value & 2:
                 self.error = True
-                raise ValueError("invalid deflate data")
+                break
             self.done = bool(flags.value & 1)
             more = bool(flags.value & 4)
             if max_out is not None:
@@ -424,6 +427,18 @@ class RawInflateStream:
         res = arr[:n].tobytes()
         _outbuf_release(arr)
         return res
+
+    def take_tail_all(self) -> bytes:
+        """Drain the entire post-stream input tail (take_tail is capped at
+        1 MiB per call; a larger concatenated tail needs the loop —
+        r4 advisor, high)."""
+        parts = []
+        while True:
+            t = self.take_tail()
+            if not t:
+                break
+            parts.append(t)
+        return b"".join(parts)
 
     @property
     def total_out(self) -> int:
@@ -448,6 +463,10 @@ def _bind_dstream(lib):
     ]
     lib.zrs_dstream_read.restype = ctypes.c_long
     lib.zrs_dstream_read.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+    ]
+    lib.zrs_dstream_window.restype = ctypes.c_long
+    lib.zrs_dstream_window.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
     ]
     lib._dstream_bound = True
@@ -481,6 +500,15 @@ class RawDeflateStream:
         clone = RawDeflateStream(_handle=self._lib.zrs_dstream_copy(self._h))
         clone.finished = self.finished
         return clone
+
+    def window(self) -> bytes:
+        """Last <=32 KiB of input seen (the live match window); meaningful
+        at a flush seam. Used to migrate onto the exact engine."""
+        arr, outp = _outbuf(1 << 15)
+        n = self._lib.zrs_dstream_window(self._h, outp, 1 << 15)
+        res = arr[:n].tobytes()
+        _outbuf_release(arr)
+        return res
 
     def pump(self, data: bytes, flush: int) -> bytes:
         """Feed data under flush (0 none / 2 sync / 3 full / 4 finish);
