@@ -25,15 +25,21 @@ jax.config.update("jax_platforms", "cpu")
 # at 68-94%, always inside interpret-mode device-engine tests that
 # allocate large buffers) while every crashing test passes in isolation —
 # the signature of accumulated XLA-CPU executable/buffer growth. Clearing
-# jax's caches between modules bounds process RSS at the cost of a few
-# recompiles.
+# jax's caches after those modules bounds process RSS at the cost of a few
+# recompiles. Scoped to modules marked `slow` (the interpret-mode/device
+# tier, where the growth happens) so the fast tier keeps its compile
+# cache across modules.
 import gc
 
 import pytest
 
 
 @pytest.fixture(autouse=True, scope="module")
-def _clear_jax_caches_between_modules():
+def _clear_jax_caches_between_modules(request):
     yield
-    jax.clear_caches()
-    gc.collect()
+    marks = getattr(request.module, "pytestmark", [])
+    if not isinstance(marks, (list, tuple)):
+        marks = [marks]
+    if any(getattr(m, "name", None) == "slow" for m in marks):
+        jax.clear_caches()
+        gc.collect()

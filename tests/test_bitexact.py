@@ -63,7 +63,9 @@ CORPORA = ["lcet", "pdf", "jpg", "binary", "zeros", "runs"]
 
 class TestOneShotByteEquality:
     @pytest.mark.parametrize("name", CORPORA)
-    @pytest.mark.parametrize("level", list(range(1, 10)))
+    @pytest.mark.parametrize(
+        "level", [1, 2, 3, 4, 5, 6, 7, pytest.param(8, marks=pytest.mark.slow), pytest.param(9, marks=pytest.mark.slow)]
+    )
     def test_raw_all_levels(self, name, level):
         data = corpus(name)
         ours, ref = ours_oneshot(data, level), zoracle(data, level)
@@ -74,11 +76,12 @@ class TestOneShotByteEquality:
         data = corpus("lcet")
         assert ours_oneshot(data, level, wbits=15) == zoracle(data, level, wbits=15)
 
-    @pytest.mark.parametrize("level", [1, 6, 9])
+    @pytest.mark.parametrize("level", [1, 6, pytest.param(9, marks=pytest.mark.slow)])
     def test_gzip_wrapper(self, level):
         data = corpus("binary")
         assert ours_oneshot(data, level, wbits=31) == zoracle(data, level, wbits=31)
 
+    @pytest.mark.slow
     def test_window_slides_1mb(self):
         data = (open("/bin/bash", "rb").read()[:400000] + corpus("lcet") * 5)[:1000000]
         assert ours_oneshot(data, 6) == zoracle(data, 6)
@@ -110,7 +113,7 @@ class TestStrategiesByteEquality:
             (Strategy.Fixed, zlib.Z_FIXED),
         ],
     )
-    @pytest.mark.parametrize("level", [1, 6, 9])
+    @pytest.mark.parametrize("level", [1, 6, pytest.param(9, marks=pytest.mark.slow)])
     @pytest.mark.parametrize("name", ["lcet", "binary", "zeros"])
     def test_strategies(self, strategy, zstrat, level, name):
         data = corpus(name)[:60000]
@@ -121,7 +124,7 @@ class TestStrategiesByteEquality:
 
 class TestMemLevelsByteEquality:
     @pytest.mark.parametrize("mem_level", [1, 2, 5, 8, 9])
-    @pytest.mark.parametrize("level", [1, 6, 9])
+    @pytest.mark.parametrize("level", [1, 6, pytest.param(9, marks=pytest.mark.slow)])
     def test_mem_levels(self, mem_level, level):
         data = corpus("lcet")[:80000]
         ours = ours_oneshot(data, level, mem_level=mem_level)
@@ -181,7 +184,11 @@ class TestStreamingByteEquality:
         data = corpus("binary")[:80000]
         self._run(data, 6, [(7919, None)] * 9)
 
-    @pytest.mark.parametrize("seed", [42, 7, 1234])
+    @pytest.mark.parametrize(
+        "seed",
+        [pytest.param(42, marks=pytest.mark.slow),
+         pytest.param(7, marks=pytest.mark.slow), 1234],
+    )
     def test_randomized_flush_scripts(self, seed):
         random.seed(seed)
         lcet, binary = corpus("lcet")[:80000], corpus("binary")[:80000]

@@ -12,6 +12,8 @@ import pytest
 
 from zlib_rs_tpu.cli import main
 
+pytestmark = pytest.mark.slow  # fast tier: pytest -m 'not slow'
+
 
 def _run(argv, data=None, capsys=None, monkeypatch=None):
     if data is not None:

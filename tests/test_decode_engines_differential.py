@@ -11,6 +11,8 @@ from zlib_rs_tpu.parallel.pipeline import compress_parallel
 from zlib_rs_tpu.parallel import inflate as pinf
 from zlib_rs_tpu.parallel import swarm_inflate as SW
 
+pytestmark = pytest.mark.slow  # fast tier: pytest -m 'not slow'
+
 
 @pytest.mark.parametrize("chunk_kib", [64, 128])
 def test_three_engines_agree(chunk_kib):

@@ -13,6 +13,8 @@ from zlib_rs_tpu.ops import dynhuff, lz77
 from zlib_rs_tpu.ops.pallas.deflate_kernel import lz_scan_pallas
 from zlib_rs_tpu.parallel.pipeline import _dyn_header, _splice_bits
 
+pytestmark = pytest.mark.slow  # fast tier: pytest -m 'not slow'
+
 CHUNK = 8 * 1024  # interpret mode runs the scalar loop on CPU: keep small
 
 

@@ -15,6 +15,8 @@ from zlib_rs_tpu.parallel.checkpoint import (
     decode_streaming,
 )
 
+pytestmark = pytest.mark.slow  # fast tier: pytest -m 'not slow'
+
 rng = np.random.default_rng(21)
 DATA = (
     open("/bin/bash", "rb").read()[:120_000]

@@ -14,6 +14,8 @@ import jax.numpy as jnp
 from zlib_rs_tpu.parallel.device_inflate import decode_regions, resolve_tokens
 from zlib_rs_tpu.parallel.inflate import decompress_chunks, decompress_foreign
 
+pytestmark = pytest.mark.slow  # fast tier: pytest -m 'not slow'
+
 TESTDATA = "/root/reference/test-libz-rs-sys/src/test-data/"
 
 

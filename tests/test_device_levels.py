@@ -7,6 +7,9 @@ import zlib
 import numpy as np
 
 from zlib_rs_tpu.parallel.pipeline import _level_knobs, compress_parallel
+import pytest
+
+pytestmark = pytest.mark.slow  # fast tier: pytest -m 'not slow'
 
 
 def _corpus(n):

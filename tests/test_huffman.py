@@ -8,6 +8,8 @@ import pytest
 
 from zlib_rs_tpu.ops import huffman as H
 
+pytestmark = pytest.mark.slow  # fast tier: pytest -m 'not slow'
+
 
 def test_length_tables_rfc():
     # RFC 1951 3.2.5 spot checks

@@ -17,6 +17,8 @@ import jax.numpy as jnp  # noqa: E402
 from experiments.inflate_ilk import decode_streams_ilk  # noqa: E402
 from zlib_rs_tpu.ops.pallas.inflate_kernel import pack_streams_words  # noqa: E402
 
+pytestmark = pytest.mark.slow  # fast tier: pytest -m 'not slow'
+
 TEXT = (
     b"The interleaved kernel advances K independent bitstreams per loop "
     b"iteration so their dependent SMEM loads overlap. " * 200

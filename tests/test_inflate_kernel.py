@@ -10,6 +10,8 @@ import pytest
 from zlib_rs_tpu.parallel.pipeline import compress_parallel
 from zlib_rs_tpu.parallel import swarm_inflate as SW
 
+pytestmark = pytest.mark.slow  # fast tier: pytest -m 'not slow'
+
 
 def _bodies(data, chunk=64 * 1024, level=6):
     out, idx = compress_parallel(data, level=level, chunk_size=chunk, return_index=True)

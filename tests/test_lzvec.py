@@ -8,8 +8,11 @@ import pytest
 
 from zlib_rs_tpu.ops import lzvec
 
+pytestmark = pytest.mark.slow  # fast tier: pytest -m 'not slow'
 
-def _brute_tables(data: bytes, n_valid, ins_from, *, depth, nice, w_g):
+
+def _brute_tables(data: bytes, n_valid, ins_from, *, depth, nice, w_g,
+                  precise=False):
     P = len(data)
     cap_g = 4 * w_g
     b = np.frombuffer(data, np.uint8).astype(np.int64)
@@ -23,11 +26,30 @@ def _brute_tables(data: bytes, n_valid, ins_from, *, depth, nice, w_g):
     for p in range(ins_from, n_valid):
         order.setdefault(int(h[p]), []).append(p)
 
-    def mlen(i, q, cap):
+    def mlen_precise(i, q, cap):
         L = 0
         while L < cap_g and bp[i + L] == bp[q + L]:
             L += 1
         return min(L, cap)
+
+    def mlen_granular(i, q, cap):
+        # lzvec default: byte-precise up to _PRECISE_WORDS * 4 bytes,
+        # then +4 per fully-equal word (partial later words contribute
+        # nothing; the parse kernel recovers the exact tail at emit time)
+        pw = 4 * lzvec._PRECISE_WORDS
+        L = 0
+        while L < pw and bp[i + L] == bp[q + L]:
+            L += 1
+        if L == pw:
+            w = lzvec._PRECISE_WORDS
+            while w < w_g and all(
+                bp[i + 4 * w + t] == bp[q + 4 * w + t] for t in range(4)
+            ):
+                L += 4
+                w += 1
+        return min(L, cap)
+
+    mlen = mlen_precise if precise else mlen_granular
 
     full = np.zeros(P, np.int64)
     quart = np.zeros(P, np.int64)
@@ -37,7 +59,7 @@ def _brute_tables(data: bytes, n_valid, ins_from, *, depth, nice, w_g):
         cands = group[:at][::-1]
         cap = min(n_valid - p, lzvec.MAX_MATCH)
         nice_eff = min(nice, cap)
-        for budget, out in ((depth, full), (max(depth >> 2, 1) if depth >> 2 else depth, quart)):
+        for budget, out in ((depth, full), (depth >> 2, quart)):
             M = D = 0
             for j, q in enumerate(cands):
                 if j >= budget or p - q > lzvec.MAX_DIST:
@@ -52,8 +74,12 @@ def _brute_tables(data: bytes, n_valid, ins_from, *, depth, nice, w_g):
     return full, quart
 
 
-@pytest.mark.parametrize("seed,depth,nice", [(0, 16, 32), (1, 8, 16), (2, 128, 128)])
-def test_tables_match_bruteforce(seed, depth, nice):
+@pytest.mark.parametrize(
+    "seed,depth,nice,precise",
+    [(0, 16, 32, False), (1, 8, 16, False), (2, 128, 128, False),
+     (0, 16, 32, True), (2, 128, 128, True)],
+)
+def test_tables_match_bruteforce(seed, depth, nice, precise):
     rng = np.random.default_rng(seed)
     # compressible-ish data: small alphabet + repeated slices
     n = 2048
@@ -76,12 +102,14 @@ def test_tables_match_bruteforce(seed, depth, nice):
     n_valid = jnp.asarray([len(data)], jnp.int32)
     ins_from = jnp.asarray([0], jnp.int32)
     tf, tq = lzvec.build_match_tables(
-        jnp.asarray(words4), n_valid, ins_from, depth=depth, nice=nice, w_g=16
+        jnp.asarray(words4), n_valid, ins_from, depth=depth, nice=nice,
+        w_g=16, precise=precise,
     )
     tf = np.asarray(tf)[0]
     tq = np.asarray(tq)[0]
     bf, bq = _brute_tables(
-        bytes(buf.tobytes()), len(data), 0, depth=depth, nice=nice, w_g=16
+        bytes(buf.tobytes()), len(data), 0, depth=depth, nice=nice, w_g=16,
+        precise=precise,
     )
     P = len(data)
     assert (tf[:P] == bf[:P]).all(), np.nonzero(tf[:P] != bf[:P])[0][:10]
@@ -153,7 +181,11 @@ def test_tab_scan_identical_to_chain_scan(seed):
     z = jnp.asarray([0], jnp.int32)
     knobs = dict(depth=128, nice=128, good=8, max_lazy=16, interpret=True)
     mp0, ml0, nm0, bad0 = scan_chunks_pallas(w4, nv, z, z, **knobs)
-    mp1, ml1, nm1, bad1 = scan_chunks_tab_pallas(w4, nv, z, start=0, w_g=16, **knobs)
+    # precise tables: chain-walk equivalence only holds with byte-exact
+    # candidate lengths (the granular default trades exactness for speed
+    # and is covered by the hop<->tab and ratio tests)
+    mp1, ml1, nm1, bad1 = scan_chunks_tab_pallas(
+        w4, nv, z, start=0, w_g=16, precise=True, **knobs)
     assert not bool(bad0[0]) and not bool(bad1[0])
     n0, n1 = int(nm0[0]), int(nm1[0])
     assert n0 == n1
@@ -244,10 +276,11 @@ def test_hop_scan_dict_primed():
 
 
 def test_hop_fold_freq_byte_identical_pipeline(monkeypatch):
-    """The hop kernel's folded symbol histogram must reproduce the freq
-    kernel's counts exactly — checked end-to-end: the hop and tab paths
-    share the parse, so any histogram drift would change the Huffman
-    trees and the compressed bytes."""
+    """The hop kernel's word-wise literal histogram must reproduce the
+    freq kernel's counts exactly — checked end-to-end: the hop and tab
+    paths share the parse, so any histogram drift would change the
+    Huffman trees and the compressed bytes. (An approximate VPU
+    all-bytes histogram was tried in r5 and rejected: 1.056x zlib-6.)"""
     import os
     import zlib as _z
 

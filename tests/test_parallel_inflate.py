@@ -15,6 +15,8 @@ from zlib_rs_tpu.parallel.inflate import (
 from zlib_rs_tpu.parallel.pipeline import compress_parallel, decompress_parallel
 from zlib_rs_tpu.ops import huffman as H
 
+pytestmark = pytest.mark.slow  # fast tier: pytest -m 'not slow'
+
 random.seed(21)
 
 

@@ -15,6 +15,8 @@ from jax.sharding import Mesh
 import zlib_rs_tpu as z
 from zlib_rs_tpu.parallel.pipeline import compress_parallel
 
+pytestmark = pytest.mark.slow  # fast tier: pytest -m 'not slow'
+
 random.seed(42)
 
 CASES = {
@@ -170,3 +172,25 @@ def test_corrupt_device_result_falls_back(monkeypatch):
     assert got == data
     after = pipeline.fallback_stats().get("device_checksum:ValueError", 0)
     assert after == before + 1
+
+
+def test_strategy_routes_to_host():
+    """Device-path limitation (documented in compress_parallel): the niche
+    strategies run the bit-exact HOST engine, not the device pipeline —
+    asserting the routing so the asymmetry can never go silent."""
+    import zlib
+
+    from zlib_rs_tpu.config import DeflateConfig, Strategy
+    from zlib_rs_tpu.models.deflate import compress as host_compress
+    from zlib_rs_tpu.parallel.pipeline import compress_parallel
+
+    data = b"abcabcabc" * 2000 + bytes(range(256)) * 20
+    for strat in (Strategy.HuffmanOnly, Strategy.Rle, Strategy.Filtered):
+        out = compress_parallel(data, level=6, strategy=strat)
+        ref = host_compress(data, DeflateConfig(level=6, strategy=strat))
+        assert out == ref, strat
+        assert zlib.decompress(out) == data
+    with pytest.raises(ValueError):
+        compress_parallel(
+            data, level=6, strategy=Strategy.Rle, return_index=True
+        )

@@ -16,9 +16,12 @@ from zlib_rs_tpu.models.inflate import DataError, Inflator
 
 TESTDATA = Path("/root/reference/test-libz-rs-sys/src/test-data")
 
-pytestmark = pytest.mark.skipif(
-    not TESTDATA.exists(), reason="reference fixtures not mounted"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not TESTDATA.exists(), reason="reference fixtures not mounted"
+    ),
+    pytest.mark.slow,  # fast tier: pytest -m 'not slow'
+]
 
 
 def _gz_files():

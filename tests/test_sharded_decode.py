@@ -10,6 +10,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from zlib_rs_tpu.parallel.pipeline import compress_parallel
 from zlib_rs_tpu.parallel import swarm_inflate as SW
+import pytest
+
+pytestmark = pytest.mark.slow  # fast tier: pytest -m 'not slow'
 
 
 def test_sharded_swarm_decode_8dev():

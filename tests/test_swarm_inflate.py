@@ -14,6 +14,8 @@ import pytest
 from zlib_rs_tpu.parallel.pipeline import compress_parallel, decompress_parallel
 from zlib_rs_tpu.parallel import swarm_inflate
 
+pytestmark = pytest.mark.slow  # fast tier: pytest -m 'not slow'
+
 
 def _mixed_corpus(n):
     rng = np.random.default_rng(42)

@@ -15,6 +15,8 @@ from zlib_rs_tpu.parallel.device_inflate import resolve_tokens
 from zlib_rs_tpu.parallel.inflate import decompress_chunks
 from experiments.turbo_inflate import decode_regions_turbo
 
+pytestmark = pytest.mark.slow  # fast tier: pytest -m 'not slow'
+
 TESTDATA = "/root/reference/test-libz-rs-sys/src/test-data/"
 
 

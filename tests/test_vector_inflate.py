@@ -17,6 +17,8 @@ from zlib_rs_tpu.parallel.pipeline import compress_parallel, decompress_parallel
 from zlib_rs_tpu.parallel import vector_inflate
 from zlib_rs_tpu.ops.pallas.vhuff_kernel import build_cascade_tables_np
 
+pytestmark = pytest.mark.slow  # fast tier: pytest -m 'not slow'
+
 
 def _mixed_corpus(n):
     rng = np.random.default_rng(42)

@@ -103,7 +103,19 @@ def code_lengths_kraft(freqs: jnp.ndarray, max_bits: int = MAX_BITS) -> jnp.ndar
 
         return jnp.where(b > 0, lens_short, jnp.where(b < 0, lens_long, lens))
 
-    lens = jax.lax.fori_loop(0, 64, round_fn, lens)
+    # early-exit while: the bulk density-greedy usually lands the exact
+    # Kraft sum in well under 16 rounds; the fixed-64 fori spent ~20us of
+    # device latency per round REGARDLESS (1.27 ms/batch in the r5 encode
+    # trace). 64 remains the guaranteed-progress upper bound.
+    def cond_fn(st):
+        r, lens = st
+        return (r < 64) & (m > 0) & (kraft_units(lens) != _KRAFT_ONE)
+
+    def body_fn(st):
+        r, lens = st
+        return r + 1, round_fn(None, lens)
+
+    _, lens = jax.lax.while_loop(cond_fn, body_fn, (jnp.int32(0), lens))
     # single-symbol code: length 1 regardless of the Kraft loop
     lens = jnp.where(m == 1, jnp.where(used, 1, 0), lens)
     return lens

@@ -63,6 +63,13 @@ MAX_DIST = 32768
 
 _SENTINEL = jnp.int32(0x7FFFFFFF)
 
+# byte-precise candidate lengths up to _PRECISE_WORDS * 4 bytes; granular
+# (whole words) beyond. Lengths <= 8 cover the bulk of matches, so the
+# choice/defer decisions stay near-exact while long candidates drop ~6
+# vector ops per word per chain step (full granularity measured 1.0112x
+# zlib-6 on the bench corpus — over the 1.005 bar; this split recovers it)
+_PRECISE_WORDS = 2
+
 
 def _unaligned_words(words4):
     """uint32[B, W] aligned LE words -> uint32[B, 4W] word-at-every-byte
@@ -86,6 +93,28 @@ def _unaligned_words(words4):
     ).astype(jnp.uint32)
 
 
+def _unaligned_words_from_bytes(bytes_arr, P):
+    """uint8[B, L] -> uint32[B, P] word-at-every-byte via four SHIFTED
+    SLICES of the byte array — the stack/reshape interleave in
+    _unaligned_words is a lane-crossing relayout XLA executes slowly
+    (part of the 2.4 ms prep fusion in the r4 encode-batch trace); byte
+    slices + widening adds are pure elementwise streams."""
+    B, L = bytes_arr.shape
+    need = P + 3
+    bp = (
+        jnp.pad(bytes_arr, ((0, 0), (0, need - L)))
+        if L < need
+        else bytes_arr[:, :need]
+    )
+    b = bp.astype(jnp.uint32)
+    return (
+        b[:, :P]
+        | (b[:, 1 : P + 1] << 8)
+        | (b[:, 2 : P + 2] << 16)
+        | (b[:, 3 : P + 3] << 24)
+    )
+
+
 def _tail_bytes(xr):
     """Equal leading bytes (0..3) of a nonzero XOR word."""
     t0 = (xr & 0xFF) == 0
@@ -94,172 +123,126 @@ def _tail_bytes(xr):
     return t0.astype(jnp.int32) + t1.astype(jnp.int32) + t2.astype(jnp.int32)
 
 
-def _make_compare_kernel(R: int, depth: int, nice: int, w_g: int):
-    """VMEM-resident candidate-compare stage as one Pallas kernel.
+@functools.partial(
+    jax.jit, static_argnames=("depth", "nice", "w_g", "precise")
+)
+def _compare_stage_xla(ks, G, n_valid, *, depth, nice, w_g, precise=False):
+    """HBM-streaming fori-loop compare stage.
 
-    The XLA fori version re-reads every operand from HBM per j step
-    (~3.5 ms per 8-chunk batch); here the sorted arrays live in VMEM
-    (~0.3 MB each) and the j loop is UNROLLED with static shifts, so the
-    whole scan is compute-bound VPU work. A flat shift by j over the
-    (R, 128) layout is two static rolls + an iota select (lane l >= j%128
-    takes the lane-rolled row, below takes the row above it).
-    """
-    import jax.numpy as jnp
-    from jax import lax
-    from jax.experimental.pallas import tpu as pltpu
+    Cost shape (r5 trace): this loop dominated the encode batch (~6.3 ms
+    of 12.4 at depth 128), so three structural cuts:
 
-    def shl(x, j):
-        q, r = divmod(j, 128)
-        if r == 0:
-            return pltpu.roll(x, shift=q, axis=0)
-        y1 = pltpu.roll(x, shift=r, axis=1)
-        ya = pltpu.roll(y1, shift=q, axis=0)
-        yb = pltpu.roll(y1, shift=q + 1, axis=0)
-        lane = lax.broadcasted_iota(jnp.int32, (R, 128), 1)
-        return jnp.where(lane >= r, ya, yb)
+      * ONE packed (len << 16 | dist) carry array instead of (M, D, M32,
+        D32, frozen) — the quartered-budget snapshot comes from SPLITTING
+        the fori at depth >> 2 instead of carrying two extra arrays
+        through every step;
+      * candidate lengths are byte-precise within the first word and
+        WORD-GRANULAR beyond it (precise=False, the default): the scalar
+        parse kernel already extends every emitted match byte-exactly, so
+        granularity only coarsens the CHOICE between candidates and the
+        lazy-defer thresholds — a measured-ratio trade that deletes ~6
+        vector ops per payload word per chain step;
+      * `precise=True` restores zlib's byte-exact lengths (the
+        differential-test reference and the fallback if granular ratio
+        regresses).
 
-    def kernel(meta_ref, ks_ref, *rest):
-        g_refs = rest[:w_g]
-        outf_ref, outq_ref = rest[w_g], rest[w_g + 1]
-        n_valid = meta_ref[0, 0, 0]
-
-        ks = ks_ref[:]
-        G = [g[:] for g in g_refs]
-        flat = (
-            lax.broadcasted_iota(jnp.int32, (R, 128), 0) * 128
-            + lax.broadcasted_iota(jnp.int32, (R, 128), 1)
-        )
-        pos_k = ks & 0xFFFF
-        hash_k = ks >> 16
-        cap_k = jnp.clip(n_valid - pos_k, 0, MAX_MATCH)
-        nice_eff = jnp.minimum(jnp.int32(nice), cap_k)
-
-        z = jnp.zeros((R, 128), jnp.int32)
-        M, D = z, z
-        M32, D32 = z, z
-        frozen = jnp.zeros((R, 128), jnp.bool_)
-        for j in range(1, depth + 1):
-            kprev = shl(ks, j)
-            same = ((kprev >> 16) == hash_k) & (flat >= j)
-            dist = pos_k - (kprev & 0xFFFF)
-            valid = same & (dist >= 1) & (dist <= MAX_DIST)
-            L = z
-            pe = valid
-            for w in range(w_g):
-                xr = G[w] ^ shl(G[w], j)
-                eq = xr == 0
-                L = L + jnp.where(pe, jnp.where(eq, 4, _tail_bytes(xr)), 0)
-                pe = pe & eq
-            L = jnp.minimum(L, cap_k)
-            live = ~frozen
-            better = live & (L > M)
-            M = jnp.where(better, L, M)
-            D = jnp.where(better, dist, D)
-            frozen = frozen | (live & valid & (L >= nice_eff))
-            if j == depth >> 2:
-                M32, D32 = M, D
-        outf_ref[:] = jnp.where(M >= MIN_MATCH, (M << 16) | D, 0)
-        outq_ref[:] = jnp.where(M32 >= MIN_MATCH, (M32 << 16) | D32, 0)
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("depth", "nice", "w_g"))
-def _compare_stage_pallas(ks, payloads, n_valid, *, depth, nice, w_g):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
+    (A VMEM-resident Pallas variant was chip-measured SLOWER — 6.4 vs
+    5.0 ms/batch: the per-j flat shift over the (R, 128) layout costs 3
+    roll relayouts per operand and the 128-way unroll compiled for ~6
+    minutes — so the XLA loop is the only compare stage; the negative
+    result is recorded in experiments/README.md.)"""
     B, P = ks.shape
-    Pp = -(-P // 128) * 128
-    R = Pp // 128
-    ks2 = jnp.pad(ks, ((0, 0), (0, Pp - P)), constant_values=_SENTINEL
-                  ).reshape(B, R, 128)
-    g2 = [jnp.pad(g, ((0, 0), (0, Pp - P))).reshape(B, R, 128)
-          for g in payloads]
-    spec = pl.BlockSpec((None, R, 128), lambda b: (b, 0, 0))
-    f = pl.pallas_call(
-        _make_compare_kernel(R, depth, nice, w_g),
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
-        ] + [spec] * (1 + w_g),
-        out_specs=[spec, spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, R, 128), jnp.int32),
-            jax.ShapeDtypeStruct((B, R, 128), jnp.int32),
-        ],
-    )
-    meta = jnp.pad(n_valid.astype(jnp.int32).reshape(B, 1), ((0, 0), (0, 7)))
-    outf, outq = f(meta.reshape(B, 1, 8), ks2, *g2)
-    return (outf.reshape(B, Pp)[:, :P], outq.reshape(B, Pp)[:, :P])
-
-
-@functools.partial(jax.jit, static_argnames=("depth", "nice", "w_g"))
-def _compare_stage_xla(ks, G, n_valid, *, depth, nice, w_g):
-    """Reference fori-loop compare stage (CPU / interpret path; also the
-    model the Pallas stage is differential-tested against). Each j step
-    re-reads the operands from HBM, which is why TPU uses the
-    VMEM-resident kernel instead."""
-    B, P = ks.shape
-    pos_k = ks & 0xFFFF
-    hash_k = ks >> 16
+    pos_k = (ks & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    hash_k = (ks >> 16).astype(jnp.int32)  # 0x8000 marks non-inserted rows
+    searcher = hash_k < 0x8000
     cap_k = jnp.clip(n_valid[:, None] - pos_k, 0, MAX_MATCH)
     nice_eff = jnp.minimum(jnp.int32(nice), cap_k)
 
     pad = depth
-    ks_p = jnp.pad(ks, ((0, 0), (pad, 0)), constant_values=-1)
+    ks_p = jnp.pad(ks, ((0, 0), (pad, 0)),
+                   constant_values=jnp.uint32(0xFFFFFFFF))
     G_p = [jnp.pad(g, ((0, 0), (pad, 0))) for g in G]
 
     def step(j, st):
-        M, D, frozen, M32, D32 = st
+        packed, frozen = st
         kprev = lax.dynamic_slice_in_dim(ks_p, pad - j, P, axis=1)
-        same = (kprev >> 16) == hash_k
-        dist = pos_k - (kprev & 0xFFFF)
-        valid = same & (dist >= 1) & (dist <= MAX_DIST)
+        same = (kprev >> 16).astype(jnp.int32) == hash_k
+        dist = pos_k - (kprev & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        valid = searcher & same & (dist >= 1) & (dist <= MAX_DIST)
 
-        L = jnp.zeros((B, P), jnp.int32)
-        pe = jnp.ones((B, P), jnp.bool_)
-        for w in range(w_g):
-            gw = G[w]
+        gp0 = lax.dynamic_slice_in_dim(G_p[0], pad - j, P, axis=1)
+        xr0 = G[0] ^ gp0
+        pe = xr0 == 0
+        L = jnp.where(pe, 4, _tail_bytes(xr0))
+        for w in range(1, w_g):
             gp = lax.dynamic_slice_in_dim(G_p[w], pad - j, P, axis=1)
-            xr = gw ^ gp
-            eq = xr == 0
-            L = L + jnp.where(pe, jnp.where(eq, 4, _tail_bytes(xr)), 0)
-            pe = pe & eq
+            if precise or w < _PRECISE_WORDS:
+                xr = G[w] ^ gp
+                eq = xr == 0
+                L = L + jnp.where(pe, jnp.where(eq, 4, _tail_bytes(xr)), 0)
+                pe = pe & eq
+            else:
+                pe = pe & (G[w] == gp)
+                L = L + jnp.where(pe, 4, 0)
         L = jnp.where(valid, jnp.minimum(L, cap_k), 0)
 
         live = ~frozen
-        better = live & (L > M)
-        M = jnp.where(better, L, M)
-        D = jnp.where(better, dist, D)
+        better = live & (L > (packed >> 16))
+        packed = jnp.where(better, (L << 16) | dist, packed)
         frozen = frozen | (live & valid & (L >= nice_eff))
-        take = j == (depth >> 2)
-        M32 = jnp.where(take, M, M32)
-        D32 = jnp.where(take, D, D32)
-        return M, D, frozen, M32, D32
+        return packed, frozen
 
     z = jnp.zeros((B, P), jnp.int32)
-    M, D, _f, M32, D32 = lax.fori_loop(
-        1, depth + 1, step, (z, z, jnp.zeros((B, P), jnp.bool_), z, z)
+    q = depth >> 2  # 0 => quartered budget finds nothing (matches zlib's
+    #                 degenerate chain>>2 == 0 case for depth < 4)
+    init = (z, jnp.zeros((B, P), jnp.bool_))
+    U = 4  # partial unroll: the loop carry (packed + frozen, ~2.5 MB)
+    #        round-trips HBM once per fori step; U steps per iteration
+    #        cut that churn U-fold at modest compile cost
+    if q % U == 0 and (depth - q) % U == 0 and q >= U:
+
+        def stepU1(jq, st):
+            for u in range(U):
+                st = step(jq * U + u + 1, st)
+            return st
+
+        def stepU2(jq, st):
+            for u in range(U):
+                st = step(q + jq * U + u + 1, st)
+            return st
+
+        packed32, frozen32 = lax.fori_loop(0, q // U, stepU1, init)
+        packed, _ = lax.fori_loop(
+            0, (depth - q) // U, stepU2, (packed32, frozen32)
+        )
+    else:
+        packed32, frozen32 = lax.fori_loop(1, q + 1, step, init)
+        packed, _ = lax.fori_loop(
+            q + 1, depth + 1, step, (packed32, frozen32)
+        )
+    keep = (packed >> 16) >= MIN_MATCH
+    keep32 = (packed32 >> 16) >= MIN_MATCH
+    return (
+        jnp.where(keep, packed, 0),
+        jnp.where(keep32, packed32, 0),
     )
-    packed = jnp.where(M >= MIN_MATCH, (M << 16) | D, 0)
-    packed32 = jnp.where(M32 >= MIN_MATCH, (M32 << 16) | D32, 0)
-    return packed, packed32
 
 
 @functools.partial(
-    jax.jit, static_argnames=("depth", "nice", "w_g")
+    jax.jit, static_argnames=("depth", "nice", "w_g", "precise")
 )
 def build_match_tables(
-    words4, n_valid, ins_from, *, depth: int, nice: int, w_g: int = 16
+    words4, n_valid, ins_from, *, depth: int, nice: int, w_g: int = 16,
+    bytes_arr=None, precise: bool = False,
 ):
     """Per-position zlib longest_match summaries for a batch of chunks.
 
     words4: uint32[B, W] aligned words (>= 2 zero pad words at the tail).
     n_valid/ins_from: int32[B] — positions [ins_from, n_valid) are
     chain-inserted (the deflate_slow invariant); candidates are walked
-    newest-first within the 15-bit rolling-hash group.
+    newest-first within the 15-bit rolling-hash group. `bytes_arr`
+    (uint8[B, L], the same data bytewise) enables the cheap slice-based
+    unaligned-word construction.
 
     Returns (tab_full, tab_quart): int32[B, 4W], position-indexed packed
     (len << 16 | dist) results for budget `depth` and `depth >> 2`
@@ -269,7 +252,10 @@ def build_match_tables(
     P = 4 * W
     cap_g = 4 * w_g
 
-    U = _unaligned_words(words4)
+    if bytes_arr is not None:
+        U = _unaligned_words_from_bytes(bytes_arr, P)
+    else:
+        U = _unaligned_words(words4)
     pos = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], (B, P))
 
     # zlib's rolling 3-byte hash, evaluated directly (deflate_kernel.hash_at)
@@ -279,8 +265,17 @@ def build_match_tables(
         ^ ((U >> 16) & jnp.uint32(0xFF))
     ).astype(jnp.int32) & (HSIZE - 1)
 
+    # uint32 keys; non-inserted rows get hash field 0x8000 (> any real
+    # 15-bit hash) and KEEP their position field, so the back-sort keyed
+    # by position alone is a complete permutation landing every result at
+    # its absolute position — the r4 per-row roll alignment stage (part
+    # of the 2.4 ms prep/align fusion) disappears entirely.
     real = (pos >= ins_from[:, None]) & (pos < n_valid[:, None])
-    key = jnp.where(real, (h << 16) | pos, _SENTINEL)
+    key = jnp.where(
+        real,
+        (h.astype(jnp.uint32) << 16) | pos.astype(jnp.uint32),
+        jnp.uint32(0x8000 << 16) | pos.astype(jnp.uint32),
+    )
 
     # suffix words ride the sort: payload w = U shifted by 4w bytes
     Upad = jnp.pad(U, ((0, 0), (0, cap_g)))
@@ -290,41 +285,19 @@ def build_match_tables(
     ks = sorted_ops[0]
     G = sorted_ops[1:]
 
-    # the Pallas compare stage is chip-verified EQUAL but measured SLOWER
-    # (6.4 vs 5.0 ms/batch: the per-j flat-shift costs 3 roll relayouts
-    # per operand, and the 128-way unroll compiles for ~6 minutes), so
-    # the HBM-streaming XLA loop stays the default on every backend
-    import os as _os
+    packed, packed32 = _compare_stage_xla(
+        ks, list(G), n_valid, depth=depth, nice=nice, w_g=w_g,
+        precise=precise,
+    )
 
-    if jax.default_backend() == "tpu" and _os.environ.get("ZRS_TPU_PALLAS_CMP"):
-        packed, packed32 = _compare_stage_pallas(
-            ks, list(G), n_valid, depth=depth, nice=nice, w_g=w_g
-        )
-    else:
-        packed, packed32 = _compare_stage_xla(
-            ks, list(G), n_valid, depth=depth, nice=nice, w_g=w_g
-        )
-
-    # undo the permutation: one more sort, keyed by position (sentinels
-    # carry pos-field 0xFFFF and sink to the tail)
-    back = lax.sort([ks & 0xFFFF, packed, packed32], dimension=1, num_keys=1)
-    return _align_tables(back, ins_from, P)
-
-
-def _align_tables(back, ins_from, P):
-    _bpos, btab, btab32 = back
-
-    # align rows to absolute positions: real rows start at ins_from
-    def align(tab):
-        # row r holds position ins_from + r; shift right by ins_from
-        def one(t, s):
-            rolled = jnp.roll(t, s)
-            idx = jnp.arange(P, dtype=jnp.int32)
-            return jnp.where(idx >= s, rolled, 0)
-
-        return jax.vmap(one)(tab, ins_from.astype(jnp.int32))
-
-    return align(btab), align(btab32)
+    # undo the permutation: one more sort keyed by position (unique per
+    # row, real or not), landing row p at index p directly
+    back = lax.sort(
+        [(ks & jnp.uint32(0xFFFF)).astype(jnp.int32), packed, packed32],
+        dimension=1,
+        num_keys=1,
+    )
+    return back[1], back[2]
 
 
 # ---------------------------------------------------------------------------
@@ -339,11 +312,12 @@ def _shift_fwd(x, k, P):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("depth", "nice", "good", "max_lazy", "w_g"),
+    static_argnames=("depth", "nice", "good", "max_lazy", "w_g", "precise"),
 )
 def build_hop_tables(
     words4, n_valid, ins_from, *,
     depth: int, nice: int, good: int, max_lazy: int, w_g: int = 8,
+    bytes_arr=None, precise: bool = False,
 ):
     """Vectorize the one-step-lazy DECISION CHAIN on top of the match
     tables, so the scalar pass degenerates to a pointer chase.
@@ -372,10 +346,10 @@ def build_hop_tables(
     B, W = words4.shape
     P = 4 * W
     tabf, tabq = build_match_tables(
-        words4, n_valid, ins_from, depth=depth, nice=nice, w_g=w_g
+        words4, n_valid, ins_from, depth=depth, nice=nice, w_g=w_g,
+        bytes_arr=bytes_arr, precise=precise,
     )
     Mf, Df = tabf >> 16, tabf & 0xFFFF
-    Mq, Dq = tabq >> 16, tabq & 0xFFFF
 
     pos = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], (B, P))
     cap = jnp.clip(n_valid[:, None] - pos, 0, MAX_MATCH)
@@ -389,15 +363,19 @@ def build_hop_tables(
     alive = ~is_lit
 
     def hop(k, st):
+        # shift the PACKED tables (2 sliced streams instead of 4) and
+        # unpack in-register; nice_eff at p + k is computed from the
+        # position directly instead of shifting a third array
         plen, pdist, h, alive = st
-        mf = _shift_fwd(Mf, k, P)
-        df = _shift_fwd(Df, k, P)
-        mq = _shift_fwd(Mq, k, P)
-        dq = _shift_fwd(Dq, k, P)
-        ne = _shift_fwd(nice_eff, k, P)
+        tf = _shift_fwd(tabf, k, P)
+        tq = _shift_fwd(tabq, k, P)
         quart = plen >= good
-        cand = jnp.where(quart, mq, mf)
-        cdist = jnp.where(quart, dq, df)
+        t = jnp.where(quart, tq, tf)
+        cand = t >> 16
+        cdist = t & 0xFFFF
+        ne = jnp.minimum(
+            jnp.int32(nice), jnp.clip(n_valid[:, None] - (pos + k), 0, MAX_MATCH)
+        )
         found = (
             alive
             & (pos + k < n_valid[:, None])
@@ -410,12 +388,21 @@ def build_hop_tables(
         h = jnp.where(found, k, h)
         return plen, pdist, h, found
 
-    plen, pdist, h, _ = lax.fori_loop(
-        1, max_lazy - MIN_MATCH + 1, hop, (plen, pdist, h, alive)
-    )
-    htab = jnp.where(
-        is_lit,
-        0,
-        (jnp.int32(1) << 30) | (h << 23) | (plen << 16) | pdist,
-    )
+    # max_lazy is static and small (<= 13 hops at level 6): a python-level
+    # unroll lets XLA fuse the whole chain into one pass instead of
+    # round-tripping the 4-array carry through HBM per fori step
+    st = (plen, pdist, h, alive)
+    for k in range(1, max_lazy - MIN_MATCH + 1):
+        st = hop(k, st)
+    plen, pdist, h, _ = st
+    match_ent = (jnp.int32(1) << 30) | (h << 23) | (plen << 16) | pdist
+    # literal slots carry the DELTA to the next match stop (>= 1, < 2^30)
+    # instead of 0: the parse kernel crosses a whole literal run in ONE
+    # SMEM read, deleting the per-literal sprint iteration (~20 ns/byte of
+    # pure loop floor). Computed as a reverse running-min of stop
+    # positions; runs with no following stop jump past the end (the
+    # kernel's i < n_valid guard stops them).
+    stoppos = jnp.where(is_lit, jnp.int32(2 * P), pos)
+    ns = lax.cummin(stoppos, axis=1, reverse=True)
+    htab = jnp.where(is_lit, ns - pos, match_ent)
     return htab

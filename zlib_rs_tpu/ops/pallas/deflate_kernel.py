@@ -392,9 +392,11 @@ def _make_kernel_tab(cap_g: int):
             table cap is continued byte-exactly before it lands in the
             stream (one cond per EMITTED match — ~2.9K/chunk, not 32K).
             Also folds the symbol histogram (the separate freq kernel's
-            whole reason to exist) into the same walk."""
+            whole reason to exist) into the same walk. Since lzvec's
+            default lengths are word-granular beyond the first word,
+            every emitted match is extended, not just cap-hitters."""
             mlen = lax.cond(
-                do_it & (mlen == cap_g),
+                do_it,
                 lambda a: extend(
                     a[0], a[1], a[2],
                     jnp.minimum(n_valid - a[0], MAX_MATCH),
@@ -461,13 +463,16 @@ def _make_kernel_tab(cap_g: int):
 def _make_kernel_hop(cap_g: int):
     """Pointer-chase parse kernel over ops/lzvec HOP tables.
 
-    With the lazy deferral chain itself precomputed on the VPU
-    (lzvec.build_hop_tables), the scalar pass carries NO parse state at
-    all: a literal sprint skips htab==0 runs, and every other stop reads
-    one packed entry — h deferred literals, then a match of (len, dist)
-    at i+h — emits, extends a table-capped length byte-exactly, and
-    jumps. One loop iteration per emitted match instead of one per
-    visited position."""
+    With the lazy deferral chain precomputed on the VPU
+    (lzvec.build_hop_tables) AND literal runs pre-measured (literal table
+    slots hold the delta to the next match stop), the scalar pass is ONE
+    iteration per emitted match: read the delta, land on the match entry,
+    extend the table-granular length byte-exactly, emit, jump. The
+    per-literal sprint ITERATION (~20 ns/byte of pure loop floor — the
+    dominant chase cost through round 4) is gone; the literal histogram
+    is counted WORD-WISE over each run span (4 bytes per loop iteration;
+    exact — a VPU all-bytes approximation was measured at 1.056x zlib-6
+    on the bench corpus and rejected)."""
 
     def kernel(meta_ref, words_ref, htab_ref, mpos_ref, mld_ref, st_ref,
                freq_ref):
@@ -478,7 +483,7 @@ def _make_kernel_hop(cap_g: int):
             freq_ref[0, 0, i] = 0
             return 0
 
-        lax.fori_loop(0, 320, zf, 0)
+        lax.fori_loop(0, 4 * 320, zf, 0)
 
         def get32(p):
             wi = p >> 2
@@ -508,16 +513,6 @@ def _make_kernel_hop(cap_g: int):
             tail = t0.astype(jnp.int32) + t1.astype(jnp.int32) + t2.astype(jnp.int32)
             return jnp.minimum(k + jnp.where(x == 0, 0, tail), cap)
 
-        def byte_at(p):
-            w = words_ref[0, 0, p >> 2]
-            return (
-                (w >> ((p & 3) << 3).astype(jnp.uint32)) & jnp.uint32(0xFF)
-            ).astype(jnp.int32)
-
-        def count_lit(p):
-            bsl = byte_at(p)
-            freq_ref[0, 0, bsl] = freq_ref[0, 0, bsl] + 1
-
         def emit(mc, pos, mlen, mdist, do_it, b):
             slot = jnp.where(do_it & (mc < CAP_M), mc, CAP_M)
             mpos_ref[0, 0, slot] = pos
@@ -531,35 +526,71 @@ def _make_kernel_hop(cap_g: int):
             iw, _mc, b = st
             return (iw[0] < n_valid) & ~b
 
+        def count_span(frm, to):
+            """Literal histogram over [frm, to), 4 bytes per iteration
+            (unaligned word read + 4 histogram bumps; bytes past `to`
+            land in dead slot 319, which nothing downstream reads)."""
+
+            def wcond(p):
+                return p < to
+
+            def wbody(p):
+                w = get32(p)
+                rem = to - p
+                s0 = (w & jnp.uint32(0xFF)).astype(jnp.int32)
+                s1 = jnp.where(
+                    rem >= 2,
+                    ((w >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.int32),
+                    319,
+                ) + 320
+                s2 = jnp.where(
+                    rem >= 3,
+                    ((w >> jnp.uint32(16)) & jnp.uint32(0xFF)).astype(jnp.int32),
+                    319,
+                ) + 640
+                s3 = jnp.where(
+                    rem >= 4,
+                    (w >> jnp.uint32(24)).astype(jnp.int32),
+                    319,
+                ) + 960
+                freq_ref[0, 0, s0] = freq_ref[0, 0, s0] + 1
+                freq_ref[0, 0, s1] = freq_ref[0, 0, s1] + 1
+                freq_ref[0, 0, s2] = freq_ref[0, 0, s2] + 1
+                freq_ref[0, 0, s3] = freq_ref[0, 0, s3] + 1
+                return p + 4
+
+            lax.while_loop(wcond, wbody, frm)
+
         def body(st):
             iw, mc, b = st
-            i = iw[0]
+            i0 = iw[0]
 
-            # literal sprint doubles as the literal histogram: unlike the
-            # table-walk fold (a measured net loss — every decision
-            # iteration paid the branchless histogram), the chase only
-            # runs this body on ACTUAL literals
-            def sp_cond(p):
-                return (p < n_valid) & (htab_ref[0, 0, p - start] == 0)
-
-            def sp_body(p):
-                count_lit(p)
-                return p + 1
-
-            i = lax.while_loop(sp_cond, sp_body, i)
-            ht = htab_ref[0, 0, jnp.minimum(i, n_valid - 1) - start]
+            # literal-run delta: table slots at literal positions hold the
+            # distance to the next match stop, so the whole run costs one
+            # SMEM read; a match entry (bit 30) is its own stop
+            ht = htab_ref[0, 0, i0 - start]
+            is_m = (ht >> 30) > 0
+            # clamp: a run with no following stop jumps to 2*P (clamping
+            # here keeps every subsequent speculative read in bounds)
+            i = jnp.where(is_m, i0, jnp.minimum(i0 + ht, n_valid))
+            ht = jnp.where(
+                is_m, ht, htab_ref[0, 0, jnp.minimum(i, n_valid - 1) - start]
+            )
             do = i < n_valid
             h = (ht >> 23) & 0x7F
             mlen = (ht >> 16) & 0x7F
             dist = ht & 0xFFFF
             ip = i + h
-
-            # the chain's deferred literals (h per match, avg << 1)
-            def cl(p, _):
-                count_lit(p)
-                return 0
-
-            lax.fori_loop(i, jnp.where(do, ip, i), cl, 0)
+            # run literals [i0, i) plus deferred literals [i, ip) are one
+            # contiguous span; when the jump ran off the end the tail
+            # [i0, n_valid) is all literals
+            count_span(i0, jnp.where(do, ip, n_valid))
+            # recover the byte-exact length: cap-hitting winners walk the
+            # full word extension (rare, cond'ed); every other granular
+            # length is short of the truth by AT MOST the sub-word tail
+            # of its first unequal word — one branchless xor+tail, no
+            # loop (running the full extend per match measured +1.7 ms
+            # per batch)
             mlen = lax.cond(
                 do & (mlen == cap_g),
                 lambda a: extend(
@@ -567,6 +598,19 @@ def _make_kernel_hop(cap_g: int):
                 ),
                 lambda a: a[1],
                 (ip, mlen, dist),
+            )
+            # clamp the source read: when do is False the fields are
+            # garbage and ip - dist could go negative (result discarded)
+            xt = get32(ip + mlen) ^ get32(jnp.maximum(ip - dist + mlen, 0))
+            t0 = (xt & jnp.uint32(0xFF)) == 0
+            t1 = t0 & ((xt & jnp.uint32(0xFFFF)) == 0)
+            t2 = t1 & ((xt & jnp.uint32(0xFFFFFF)) == 0)
+            tail = (
+                t0.astype(jnp.int32) + t1.astype(jnp.int32)
+                + t2.astype(jnp.int32)
+            )
+            mlen = jnp.minimum(
+                mlen + tail, jnp.minimum(n_valid - ip, MAX_MATCH)
             )
             mc, b = emit(mc, ip, mlen, dist, do, b)
             lc, _leb, _lev = _len_sym(mlen)
@@ -587,12 +631,7 @@ def _make_kernel_hop(cap_g: int):
             # overflow lane degrades to an all-literal parse downstream —
             # recount so the histogram matches that parse
             lax.fori_loop(0, 320, zf, 0)
-
-            def one(p, _):
-                count_lit(p)
-                return 0
-
-            lax.fori_loop(start, n_valid, one, 0)
+            count_span(start, n_valid)
 
         st_ref[0, 0, 0] = mc
         st_ref[0, 0, 1] = b.astype(jnp.int32)
@@ -604,12 +643,16 @@ def _make_kernel_hop(cap_g: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("start", "depth", "nice", "good", "max_lazy", "w_g", "interpret"),
+    static_argnames=(
+        "start", "depth", "nice", "good", "max_lazy", "w_g", "interpret",
+        "precise",
+    ),
 )
 def scan_chunks_hop_pallas(
     words4, n_valid, ins_from, *,
     start: int, depth: int, nice: int, good: int = 8, max_lazy: int = 16,
-    w_g: int = 8, interpret: bool = False,
+    w_g: int = 8, interpret: bool = False, bytes_arr=None,
+    precise: bool = False,
 ):
     """Hop-table variant of scan_chunks_tab_pallas: lzvec precomputes the
     whole lazy decision chain, the kernel only chases parse successors.
@@ -621,6 +664,7 @@ def scan_chunks_hop_pallas(
     htab = lzvec.build_hop_tables(
         words4, n_valid.astype(jnp.int32), ins_from.astype(jnp.int32),
         depth=depth, nice=nice, good=good, max_lazy=max_lazy, w_g=w_g,
+        bytes_arr=bytes_arr, precise=precise,
     )
     tabn = 4 * W - start
     htab = htab[:, start : start + tabn]
@@ -641,27 +685,36 @@ def scan_chunks_hop_pallas(
             pl.BlockSpec((1, 1, CAP_M + 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, CAP_M + 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 320), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 4 * 320), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, CAP_M + 8), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, CAP_M + 8), jnp.uint32),
             jax.ShapeDtypeStruct((B, 1, 8), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, 320), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 4 * 320), jnp.int32),
         ],
         interpret=interpret,
     )(meta, words3, htab.reshape(B, 1, tabn))
-    return mpos[:, 0], mld[:, 0], st[:, 0, 0], st[:, 0, 1] > 0, freq[:, 0]
+    # sum the 4 histogram banks (len/dist live in bank 0; banks 1-3 hold
+    # only literal counts)
+    fq = freq[:, 0]
+    total_freq = (
+        fq[:, :320] + fq[:, 320:640] + fq[:, 640:960] + fq[:, 960:1280]
+    )
+    return mpos[:, 0], mld[:, 0], st[:, 0, 0], st[:, 0, 1] > 0, total_freq
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("start", "depth", "nice", "good", "max_lazy", "w_g", "interpret"),
+    static_argnames=(
+        "start", "depth", "nice", "good", "max_lazy", "w_g", "interpret",
+        "precise",
+    ),
 )
 def scan_chunks_tab_pallas(
     words4, n_valid, ins_from, *,
     start: int, depth: int, nice: int, good: int = 8, max_lazy: int = 16,
-    w_g: int = 16, interpret: bool = False,
+    w_g: int = 16, interpret: bool = False, precise: bool = False,
 ):
     """Vectorized-matcher variant of scan_chunks_pallas: ops/lzvec builds
     the per-position longest_match tables on the VPU, then the scalar
@@ -674,7 +727,7 @@ def scan_chunks_tab_pallas(
     B, W = words4.shape
     tabf, tabq = lzvec.build_match_tables(
         words4, n_valid.astype(jnp.int32), ins_from.astype(jnp.int32),
-        depth=depth, nice=nice, w_g=w_g,
+        depth=depth, nice=nice, w_g=w_g, precise=precise,
     )
     tabn = 4 * W - start
     tabf = tabf[:, start : start + tabn]

@@ -240,6 +240,7 @@ def _encode_batch(
                     w4, n_valid, valid_from.astype(jnp.int32),
                     start=int(dict_size), depth=chain, nice=nice,
                     good=good, max_lazy=mlazy, w_g=wg, interpret=interp,
+                    bytes_arr=chunks,
                 )
             elif variant == "tab":
                 from ..ops.pallas.deflate_kernel import scan_chunks_tab_pallas
@@ -488,11 +489,20 @@ def compress_parallel(
     mesh: Mesh | None = None,
     return_index: bool = False,
     prime_dict: bool = True,
+    strategy=None,
 ):
     """Compress `data` into one valid zlib/gzip/raw stream, chunk-parallel.
 
     With a mesh, chunks are sharded over its devices; without, the whole
     batch runs on the default device. Output always decodes with stdlib zlib.
+
+    DEVICE-PATH LIMITATION (by design): the device engines implement the
+    default-strategy parse only — the niche strategies (Filtered /
+    HuffmanOnly / Rle / Fixed, reference strategy dispatch
+    algorithm/mod.rs:30-39) route to the bit-exact HOST engine, single
+    stream, no chunk parallelism. A non-default `strategy` therefore
+    returns the host engine's bytes (tested in
+    tests/test_parallel_pipeline.py::test_strategy_routes_to_host).
 
     chunk_size=None selects the active engine's default configuration:
     the SMEM scan-kernel engine (ZRS_TPU_KERNEL=1) runs 32 KiB chunks with
@@ -505,6 +515,23 @@ def compress_parallel(
     for fully parallel decode (the random-access capability the reference
     exposes via inflateSync/inflateMark, SURVEY.md section 2e).
     """
+    from ..config import Strategy
+
+    if strategy is not None and strategy != Strategy.Default:
+        if return_index:
+            raise ValueError(
+                "indexed parallel streams require the default strategy "
+                "(device-path limitation; see docstring)"
+            )
+        from ..config import DeflateConfig
+        from ..models.deflate import compress as _host_compress
+
+        return _host_compress(
+            data,
+            DeflateConfig(
+                level=level, window_bits=window_bits, strategy=strategy
+            ),
+        )
     if chunk_size is None:
         chunk_size = (
             32 * 1024 if os.environ.get("ZRS_TPU_KERNEL") == "1" else DEFAULT_CHUNK
