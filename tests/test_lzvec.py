@@ -349,3 +349,48 @@ def test_hop_tab_fuzz_equivalence(seed):
     assert n0 == int(nm1[0])
     assert (np.asarray(mp0)[0][:n0] == np.asarray(mp1)[0][:n0]).all()
     assert (np.asarray(ml0)[0][:n0] == np.asarray(ml1)[0][:n0]).all()
+
+
+def test_hop_interleaved_matches_single_lane():
+    """The 4-way cross-chunk interleaved chase must emit exactly the same
+    match streams and histograms as four single-lane chases."""
+    import jax.numpy as jnp
+
+    from zlib_rs_tpu.ops.pallas.deflate_kernel import scan_chunks_hop_pallas
+
+    datas = [
+        _gen(40, n=4096, maxcopy=60),
+        _gen(41, n=3000, maxcopy=200) + b"\x00" * 1000,
+        (b"ab" * 900) + _gen(42, n=2200),
+        _gen(43, n=4000, maxcopy=30),
+    ]
+    L = max(len(d) for d in datas)
+    W = (L + 3) // 4 + 2
+    buf = np.zeros((4, W * 4), np.uint8)
+    for k, d in enumerate(datas):
+        buf[k, : len(d)] = np.frombuffer(d, np.uint8)
+    w4 = jnp.asarray(
+        buf.reshape(4, W, 4).astype(np.uint32) @ np.array(
+            [1, 1 << 8, 1 << 16, 1 << 24], np.uint32
+        )
+    )
+    nv = jnp.asarray([len(d) for d in datas], jnp.int32)
+    z4 = jnp.zeros(4, jnp.int32)
+    knobs = dict(start=0, depth=64, nice=64, good=8, max_lazy=16, w_g=8,
+                 interpret=True)
+    # batch of 4 -> interleaved kernel
+    mp4, ml4, nm4, b4, fq4 = scan_chunks_hop_pallas(w4, nv, z4, **knobs)
+    for k in range(4):
+        mp1, ml1, nm1, b1, fq1 = scan_chunks_hop_pallas(
+            w4[k : k + 1], nv[k : k + 1], z4[k : k + 1], **knobs
+        )
+        assert int(nm4[k]) == int(nm1[0]), k
+        n = int(nm1[0])
+        assert (np.asarray(mp4)[k][:n] == np.asarray(mp1)[0][:n]).all(), k
+        assert (np.asarray(ml4)[k][:n] == np.asarray(ml1)[0][:n]).all(), k
+        assert bool(b4[k]) == bool(b1[0])
+        # compare the slots downstream reads (286-287/318-319 are dead
+        # sinks whose counts differ by predicated-lane bookkeeping)
+        f4, f1 = np.asarray(fq4)[k], np.asarray(fq1)[0]
+        assert (f4[:286] == f1[:286]).all(), k
+        assert (f4[288:318] == f1[288:318]).all(), k

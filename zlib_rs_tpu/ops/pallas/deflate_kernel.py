@@ -26,6 +26,7 @@ stays on the XLA path via the positional-array wrapper `lz_scan_pallas`.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +39,12 @@ HSIZE = 1 << HASH_BITS
 MIN_MATCH = 3
 MAX_MATCH = 258
 MAX_DIST = 32768
-CAP_M = 20480  # max matches per chunk; >= this flags bad (fallback)
+CAP_M = 12288  # max matches per chunk; >= this flags bad (degrades the
+#                chunk to an all-literal parse). A 32 KiB data span can
+#                emit at most 32768/3 = 10923 matches, so real chunks
+#                never trip this; the bound exists for oversized custom
+#                chunk configs and SMEM budgeting (r5: the interleaved
+#                chase keeps K chunks' streams resident at once)
 MAX_BUF = 65024  # dict + data ceiling (u16 chain positions, 0xFFFF = NIL)
 
 # zlib's CONFIGURATION_TABLE (good, max_lazy, nice, chain) — the scan
@@ -613,12 +619,9 @@ def _make_kernel_hop(cap_g: int):
                 mlen + tail, jnp.minimum(n_valid - ip, MAX_MATCH)
             )
             mc, b = emit(mc, ip, mlen, dist, do, b)
-            lc, _leb, _lev = _len_sym(mlen)
-            dc, _deb, _dev = _dist_sym(dist)
-            ls = jnp.where(do, 257 + lc, 286)  # 286-287: dead ll slots
-            freq_ref[0, 0, ls] = freq_ref[0, 0, ls] + 1
-            ds = jnp.where(do, 288 + dc, 318)
-            freq_ref[0, 0, ds] = freq_ref[0, 0, ds] + 1
+            # len/dist symbol counts come from a VPU pass over the compact
+            # match stream (scan_chunks_hop_pallas) — ~24 ALU ops per
+            # match deleted from this issue-bound loop
             nxt = jnp.where(do, ip + mlen, n_valid)
             return nxt[None], mc, b
 
@@ -637,6 +640,247 @@ def _make_kernel_hop(cap_g: int):
         st_ref[0, 0, 1] = b.astype(jnp.int32)
         st_ref[0, 0, 2] = 0
         st_ref[0, 0, 3] = 0
+
+    return kernel
+
+
+
+def _make_kernel_hop_il(cap_g: int, K: int):
+    """K-way CROSS-CHUNK interleaved hop chase (r5).
+
+    The single-lane chase measured ~73 ns per emitted match — latency-
+    bound, not issue-bound (the body is ~25 ops): each iteration's two
+    dependent SMEM loads plus the loop machinery dominate. The fix is the
+    probe_ilp lesson (8 interleaved SMEM chases run at 1.3 ns/step vs 6.6
+    serial): one grid step drives K chunks' INDEPENDENT chase chains in
+    lockstep, so their load latencies overlap. (This is the opposite call
+    from the decode kernel, whose K-interleave LOST — that loop is
+    issue-bound, experiments/inflate_ilk.py.)
+
+    Phase 1 chases matches only (one iteration per match, K lanes
+    predicated). Phase 2 replays the literal spans from the emitted match
+    stream and counts the literal histogram word-wise, again K lanes in
+    lockstep — span TOTALS balance across chunks, so lane waste stays
+    small where a per-run lockstep would straggle.
+    """
+
+    def kernel(meta_ref, words_ref, htab_ref, mpos_ref, mld_ref, st_ref,
+               freq_ref):
+        nv = [meta_ref[0, k, 0] for k in range(K)]
+        st0 = [meta_ref[0, k, 1] for k in range(K)]
+
+        def zf(i, _):
+            for k in range(K):
+                freq_ref[0, k, i] = 0
+            return 0
+
+        lax.fori_loop(0, 4 * 320, zf, 0)
+
+        def get32(k, p):
+            wi = p >> 2
+            sh = ((p & 3) << 3).astype(jnp.uint32)
+            w0 = words_ref[0, k, wi]
+            w1 = words_ref[0, k, wi + 1]
+            return jnp.where(
+                sh > 0, (w0 >> sh) | (w1 << (jnp.uint32(32) - sh)), w0
+            )
+
+        # ---- phase 1: K predicated match chases ------------------------
+        def p1_cond(s):
+            iv, _mc, bv = s
+            alive = (iv[0] < nv[0]) & ~bv[0]
+            for k in range(1, K):
+                alive = alive | ((iv[k] < nv[k]) & ~bv[k])
+            return alive
+
+        def p1_body(s):
+            iv, mcv, bv = s
+            act, i1, ht2 = [], [], []
+            # stage A: delta-jump (each lane: load, jump, reload)
+            for k in range(K):
+                a = (iv[k] < nv[k]) & ~bv[k]
+                i0c = jnp.minimum(iv[k], nv[k] - 1)
+                ht = htab_ref[0, k, i0c - st0[k]]
+                is_m = (ht >> 30) > 0
+                ii = jnp.where(is_m, iv[k], jnp.minimum(iv[k] + ht, nv[k]))
+                h2 = jnp.where(
+                    is_m, ht,
+                    htab_ref[0, k, jnp.minimum(ii, nv[k] - 1) - st0[k]],
+                )
+                act.append(a)
+                i1.append(ii)
+                ht2.append(h2)
+            do = [act[k] & (i1[k] < nv[k]) for k in range(K)]
+            hh = [(ht2[k] >> 23) & 0x7F for k in range(K)]
+            ml = [(ht2[k] >> 16) & 0x7F for k in range(K)]
+            dd = [ht2[k] & 0xFFFF for k in range(K)]
+            ip = [i1[k] + hh[k] for k in range(K)]
+            cap = [jnp.minimum(nv[k] - ip[k], MAX_MATCH) for k in range(K)]
+
+            # stage B: SHARED cap-extension loop — all lanes that hit the
+            # table cap word-extend together; the common case (no lane
+            # capped) costs one condition evaluation
+            need = [do[k] & (ml[k] == cap_g) for k in range(K)]
+
+            def e_cond(es):
+                kk, al = es
+                a = al[0]
+                for k in range(1, K):
+                    a = a | al[k]
+                return a
+
+            def e_body(es):
+                kk, al = es
+                nkk, nal = [], []
+                for k in range(K):
+                    pre = al[k] & (kk[k] < cap[k])
+                    eq = get32(k, ip[k] + kk[k]) == get32(
+                        k, jnp.maximum(ip[k] - dd[k] + kk[k], 0)
+                    )
+                    nkk.append(jnp.where(pre & eq, kk[k] + 4, kk[k]))
+                    nal.append(pre & eq)
+                return tuple(nkk), tuple(nal)
+
+            kk, _ = lax.while_loop(
+                e_cond, e_body, (tuple(ml), tuple(need))
+            )
+            ml = [
+                jnp.where(need[k], jnp.minimum(kk[k], cap[k]), ml[k])
+                for k in range(K)
+            ]
+
+            # stage C: branchless sub-word tail + emit + len/dist freq
+            niv, nmc, nbv = [], [], []
+            for k in range(K):
+                xt = get32(k, ip[k] + ml[k]) ^ get32(
+                    k, jnp.maximum(ip[k] - dd[k] + ml[k], 0)
+                )
+                t0 = (xt & jnp.uint32(0xFF)) == 0
+                t1 = t0 & ((xt & jnp.uint32(0xFFFF)) == 0)
+                t2 = t1 & ((xt & jnp.uint32(0xFFFFFF)) == 0)
+                tail = (
+                    t0.astype(jnp.int32) + t1.astype(jnp.int32)
+                    + t2.astype(jnp.int32)
+                )
+                mlen = jnp.minimum(ml[k] + tail, cap[k])
+                slot = jnp.where(do[k] & (mcv[k] < CAP_M), mcv[k], CAP_M)
+                mpos_ref[0, k, slot] = ip[k]
+                mld_ref[0, k, slot] = (
+                    (mlen - MIN_MATCH).astype(jnp.uint32) << jnp.uint32(15)
+                ) | (dd[k] - 1).astype(jnp.uint32)
+                b2 = bv[k] | (do[k] & (mcv[k] >= CAP_M))
+                niv.append(
+                    jnp.where(
+                        act[k],
+                        jnp.where(do[k], ip[k] + mlen, nv[k]),
+                        iv[k],
+                    )
+                )
+                nmc.append(mcv[k] + do[k].astype(jnp.int32))
+                nbv.append(b2)
+            return tuple(niv), tuple(nmc), tuple(nbv)
+
+        z = jnp.int32(0)
+        iv, mcv, bv = lax.while_loop(
+            p1_cond,
+            p1_body,
+            (
+                tuple(st0[k] * 1 for k in range(K)),
+                tuple(z for _ in range(K)),
+                tuple(jnp.bool_(False) for _ in range(K)),
+            ),
+        )
+
+        # bad lanes degrade to an all-literal parse downstream (phase 2
+        # recounts their whole span as literals; len/dist counts are a
+        # VPU pass outside the kernel, masked by kbad there)
+        mc_eff = [jnp.where(bv[k], 0, mcv[k]) for k in range(K)]
+
+        # ---- phase 2: literal histogram over the span structure --------
+        # per lane: walk words of [prev_end, mpos_j) for every j, then the
+        # final [last_end, nv) tail; 4 bytes per lane per iteration into 4
+        # independent histogram banks
+        def first_e(k):
+            return jnp.where(
+                mc_eff[k] > 0, mpos_ref[0, k, 0], nv[k]
+            )
+
+        def p2_cond(s):
+            jv, pv, ev = s
+            a = pv[0] < nv[0]
+            for k in range(1, K):
+                a = a | (pv[k] < nv[k])
+            return a
+
+        def p2_body(s):
+            jv, pv, ev = s
+            njv, npv, nev = [], [], []
+            for k in range(K):
+                a = pv[k] < nv[k]
+                inspan = a & (pv[k] < ev[k])
+                w = get32(k, jnp.minimum(pv[k], nv[k] - 1))
+                rem = ev[k] - pv[k]
+                s0 = jnp.where(
+                    inspan, (w & jnp.uint32(0xFF)).astype(jnp.int32), 319
+                )
+                s1 = jnp.where(
+                    inspan & (rem >= 2),
+                    ((w >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(
+                        jnp.int32
+                    ),
+                    319,
+                ) + 320
+                s2 = jnp.where(
+                    inspan & (rem >= 3),
+                    ((w >> jnp.uint32(16)) & jnp.uint32(0xFF)).astype(
+                        jnp.int32
+                    ),
+                    319,
+                ) + 640
+                s3 = jnp.where(
+                    inspan & (rem >= 4),
+                    (w >> jnp.uint32(24)).astype(jnp.int32),
+                    319,
+                ) + 960
+                freq_ref[0, k, s0] = freq_ref[0, k, s0] + 1
+                freq_ref[0, k, s1] = freq_ref[0, k, s1] + 1
+                freq_ref[0, k, s2] = freq_ref[0, k, s2] + 1
+                freq_ref[0, k, s3] = freq_ref[0, k, s3] + 1
+                p2 = jnp.where(inspan, pv[k] + 4, pv[k])
+                # span exhausted: hop over match j to the next literal run
+                advance = a & (p2 >= ev[k])
+                jc = jnp.minimum(jv[k], CAP_M - 1)
+                mp_j = mpos_ref[0, k, jc]
+                ml_j = (
+                    mld_ref[0, k, jc] >> jnp.uint32(15)
+                ).astype(jnp.int32) + MIN_MATCH
+                in_m = jv[k] < mc_eff[k]
+                newp = jnp.where(in_m, mp_j + ml_j, nv[k])
+                jn = jv[k] + (advance & in_m).astype(jnp.int32)
+                jnc = jnp.minimum(jn, CAP_M - 1)
+                nexte = jnp.where(
+                    jn < mc_eff[k], mpos_ref[0, k, jnc], nv[k]
+                )
+                njv.append(jnp.where(advance, jn, jv[k]))
+                npv.append(jnp.where(advance, newp, p2))
+                nev.append(jnp.where(advance, nexte, ev[k]))
+            return tuple(njv), tuple(npv), tuple(nev)
+
+        lax.while_loop(
+            p2_cond,
+            p2_body,
+            (
+                tuple(z for _ in range(K)),
+                tuple(st0[k] * 1 for k in range(K)),
+                tuple(first_e(k) for k in range(K)),
+            ),
+        )
+
+        for k in range(K):
+            st_ref[0, k, 0] = mcv[k]
+            st_ref[0, k, 1] = bv[k].astype(jnp.int32)
+            st_ref[0, k, 2] = 0
+            st_ref[0, k, 3] = 0
 
     return kernel
 
@@ -671,37 +915,115 @@ def scan_chunks_hop_pallas(
     meta = jnp.stack(
         [n_valid.astype(jnp.int32), jnp.full((B,), start, jnp.int32)], axis=1
     )
-    meta = jnp.pad(meta, ((0, 0), (0, 6))).reshape(B, 1, 8)
-    words3 = words4.reshape(B, 1, W)
-    mpos, mld, st, freq = pl.pallas_call(
-        _make_kernel_hop(4 * w_g),
-        grid=(B,),
+    meta = jnp.pad(meta, ((0, 0), (0, 6)))
+    # Cross-chunk interleaving (_make_kernel_hop_il) was chip-measured
+    # NEUTRAL at K=2 (1.15 ms per 2-chunk group vs 1.05 single-lane):
+    # the chase body is issue-bound (~60 ops/match), not latency-bound,
+    # so overlapping the lanes' SMEM chains buys nothing — the same
+    # lesson as the decode kernel's K-interleave (inflate_ilk). Kept
+    # selectable for re-measurement; K=1 is the shipping default.
+    # (SMEM note: 1.00 MB budget; a multi-step grid double-buffers every
+    # block, so K>1 groups run as single-step pallas_calls.)
+    K = 2 if (B % 2 == 0 and os.environ.get("ZRS_TPU_HOP_IL") == "2") else 1
+    if K == 1:
+        # the shipping path: ONE grid over the whole batch (the per-group
+        # single-step calls below exist for the K>1 SMEM budget; at K=1
+        # they would emit B separate launches — measured 2.7s of extra
+        # device wait on a 128-chunk super-batch)
+        mpos, mld, st, freq = pl.pallas_call(
+            _make_kernel_hop(4 * w_g),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, W), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, tabn), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, CAP_M + 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, CAP_M + 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 4 * 320), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, 1, CAP_M + 8), jnp.int32),
+                jax.ShapeDtypeStruct((B, 1, CAP_M + 8), jnp.uint32),
+                jax.ShapeDtypeStruct((B, 1, 8), jnp.int32),
+                jax.ShapeDtypeStruct((B, 1, 4 * 320), jnp.int32),
+            ],
+            interpret=interpret,
+        )(meta.reshape(B, 1, 8), words4.reshape(B, 1, W),
+          htab.reshape(B, 1, tabn))
+        mpos = mpos[:, 0]
+        mld = mld[:, 0]
+        st = st[:, 0]
+        freq = freq[:, 0]
+        return _hop_post(mpos, mld, st, freq, B)
+    kern = _make_kernel_hop_il(4 * w_g, K)
+    call = pl.pallas_call(
+        kern,
+        grid=(1,),
         in_specs=[
-            pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, W), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, tabn), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, W), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, tabn), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, CAP_M + 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, CAP_M + 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 4 * 320), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, CAP_M + 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, CAP_M + 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, 4 * 320), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, 1, CAP_M + 8), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, CAP_M + 8), jnp.uint32),
-            jax.ShapeDtypeStruct((B, 1, 8), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, 4 * 320), jnp.int32),
+            jax.ShapeDtypeStruct((1, K, CAP_M + 8), jnp.int32),
+            jax.ShapeDtypeStruct((1, K, CAP_M + 8), jnp.uint32),
+            jax.ShapeDtypeStruct((1, K, 8), jnp.int32),
+            jax.ShapeDtypeStruct((1, K, 4 * 320), jnp.int32),
         ],
         interpret=interpret,
-    )(meta, words3, htab.reshape(B, 1, tabn))
-    # sum the 4 histogram banks (len/dist live in bank 0; banks 1-3 hold
-    # only literal counts)
-    fq = freq[:, 0]
+    )
+    metaG = meta.reshape(B // K, 1, K, 8)
+    wordsG = words4.reshape(B // K, 1, K, W)
+    htabG = htab.reshape(B // K, 1, K, tabn)
+    parts = [call(metaG[g], wordsG[g], htabG[g]) for g in range(B // K)]
+    mpos = jnp.concatenate([p[0] for p in parts]).reshape(B, CAP_M + 8)
+    mld = jnp.concatenate([p[1] for p in parts]).reshape(B, CAP_M + 8)
+    st = jnp.concatenate([p[2] for p in parts]).reshape(B, 8)
+    freq = jnp.concatenate([p[3] for p in parts]).reshape(B, 4 * 320)
+    return _hop_post(mpos, mld, st, freq, B)
+
+
+def _hop_post(mpos, mld, st, freq, B):
+    """Shared hop-kernel post-processing: sum the 4 literal histogram
+    banks, then the len/dist symbol histogram on the VPU from the compact
+    match stream (deleted from the issue-bound scalar loop; kbad lanes
+    contribute nothing — their parse degrades to all-literal downstream)."""
+    fq = freq.reshape(B, 4 * 320)
     total_freq = (
         fq[:, :320] + fq[:, 320:640] + fq[:, 640:960] + fq[:, 960:1280]
     )
-    return mpos[:, 0], mld[:, 0], st[:, 0, 0], st[:, 0, 1] > 0, total_freq
+    nmatch = st[:, 0]
+    kbad = st[:, 1] > 0
+    ml = (mld >> jnp.uint32(15)).astype(jnp.int32) + MIN_MATCH
+    dd = (mld & jnp.uint32(0x7FFF)).astype(jnp.int32) + 1
+    slot = jnp.arange(CAP_M + 8, dtype=jnp.int32)[None]
+    validm = slot < jnp.where(kbad, 0, nmatch)[:, None]
+    lc, _eb, _ev = _len_sym(jnp.where(validm, ml, MIN_MATCH))
+    dc, _db, _dv = _dist_sym(jnp.where(validm, dd, 1))
+    lhist = jnp.sum(
+        validm[:, :, None]
+        & (lc[:, :, None] == jnp.arange(29, dtype=jnp.int32)[None, None]),
+        axis=1,
+        dtype=jnp.int32,
+    )
+    dhist = jnp.sum(
+        validm[:, :, None]
+        & (dc[:, :, None] == jnp.arange(30, dtype=jnp.int32)[None, None]),
+        axis=1,
+        dtype=jnp.int32,
+    )
+    total_freq = total_freq.at[:, 257:286].add(lhist)
+    total_freq = total_freq.at[:, 288:318].add(dhist)
+    return mpos, mld, nmatch, kbad, total_freq
 
 
 @functools.partial(

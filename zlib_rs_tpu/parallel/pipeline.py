@@ -128,6 +128,23 @@ def _splice_bits(header: bytes, hb: int, body_u8: np.ndarray, body_bits: int) ->
     return bytes(out[:total_bytes])
 
 
+@jax.jit
+def _pack_flat(*xs):
+    flat = []
+    for x in xs:
+        if x.dtype == jnp.uint32:
+            x = jax.lax.bitcast_convert_type(x, jnp.int32)
+        flat.append(x.astype(jnp.int32).reshape(-1))
+    return jnp.concatenate(flat)
+
+
+def _fetch_packed(arrays) -> np.ndarray:
+    """Concatenate device arrays into one flat int32 buffer ON DEVICE and
+    fetch it with a single host sync (uint32 rides via bitcast; the jit
+    object is module-level so repeated runs hit the compile cache)."""
+    return np.asarray(_pack_flat(*arrays))
+
+
 def _level_knobs(level: int) -> dict:
     """Map zlib levels onto the device matcher's (chain_depth, max_words,
     lazy deferral).
@@ -138,8 +155,19 @@ def _level_knobs(level: int) -> dict:
     from ..ops.pallas.deflate_kernel import ZLIB_CONFIG
 
     # kernel_cfg = zlib's exact (good, max_lazy, nice, chain) for the SMEM
-    # scan kernel, which reproduces deflate_slow decision-for-decision
+    # scan kernel, which reproduces deflate_slow decision-for-decision.
+    # ZRS_TPU_CHAIN overrides the chain budget for speed/ratio sweeps.
     kcfg = ZLIB_CONFIG[min(max(level, 1), 9)]
+    if level == 6 or level == -1:
+        # device level-6 class: chain budget 64 instead of zlib's 128 —
+        # chip-swept r5: ratio 1.0003x zlib-6 (vs 0.9980 at 128) for a
+        # ~1.5x faster compare stage. The host/native engines keep zlib's
+        # exact 128 (bit-exactness contract); the device path's contract
+        # is ratio, and this is its measured speed/ratio knee.
+        kcfg = (kcfg[0], kcfg[1], kcfg[2], 64)
+    _chain_env = os.environ.get("ZRS_TPU_CHAIN")
+    if _chain_env:
+        kcfg = (kcfg[0], kcfg[1], kcfg[2], int(_chain_env))
     if level <= 1:
         return dict(chain_depth=1, max_words=8, lazy=False, kernel_cfg=kcfg)
     if level <= 3:
@@ -165,7 +193,7 @@ def _resolve_kernel_variant(kernel_cfg) -> tuple[str, int]:
     the table stage scales linearly in max_chain, so levels 8-9 keep the
     budgeted walk that only visits real candidates)."""
     _good, mlazy, _nice, chain = kernel_cfg or (8, 16, 128, 128)
-    wg = int(os.environ.get("ZRS_TPU_WG", "8"))
+    wg = int(os.environ.get("ZRS_TPU_WG", "6"))  # r5 sweep: cap 24B
     if chain > 256 or os.environ.get("ZRS_TPU_TABSCAN", "1") == "0":
         return "chain", wg
     if (mlazy - 3 < 128 and 4 * wg < 128
@@ -667,17 +695,38 @@ def compress_parallel(
         if n_seeds:
             parts_sbit.append(sbit)
             parts_sout.append(sout)
-    words_np = np.ascontiguousarray(
-        np.concatenate([np.asarray(w) for w in parts_words])
-    )[:n_chunks]
-    bits_np = np.concatenate([np.asarray(b) for b in parts_bits])[:n_chunks]
-    adlers_np = np.concatenate([np.asarray(a) for a in parts_adler])[:n_chunks]
+    # ONE device->host sync for the whole run: every result rides a single
+    # flat int32 buffer (each np.asarray of a device array costs a full
+    # tunnel round-trip, ~115 ms — r5 profile: 10 separate fetches were
+    # 1.15 s of the 2.2 s warm e2e wall)
+    groups = [parts_words, parts_bits, parts_adler]
     if dynamic:
-        ll_all = np.concatenate([np.asarray(x) for x in parts_ll])[:n_chunks]
-        d_all = np.concatenate([np.asarray(x) for x in parts_d])[:n_chunks]
+        groups += [parts_ll, parts_d]
     if n_seeds:
-        sbit_all = np.concatenate([np.asarray(x) for x in parts_sbit])[:n_chunks]
-        sout_all = np.concatenate([np.asarray(x) for x in parts_sout])[:n_chunks]
+        groups += [parts_sbit, parts_sout]
+    flat = _fetch_packed([a for g in groups for a in g])
+    pos = 0
+    host_groups = []
+    for g in groups:
+        rows = []
+        for a in g:
+            sz = int(np.prod(a.shape))
+            rows.append(
+                flat[pos : pos + sz].reshape(a.shape)
+            )
+            pos += sz
+        host_groups.append(np.concatenate(rows)[:n_chunks])
+    words_np = host_groups[0].astype(np.uint32)
+    bits_np = host_groups[1]
+    adlers_np = host_groups[2].astype(np.int64) & 0xFFFFFFFF
+    gi = 3
+    if dynamic:
+        ll_all = host_groups[gi]
+        d_all = host_groups[gi + 1]
+        gi += 2
+    if n_seeds:
+        sbit_all = host_groups[gi]
+        sout_all = host_groups[gi + 1]
 
     def row_words(k, need_bytes):
         """Per-chunk payload words; refetches the retained full device row
