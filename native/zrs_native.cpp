@@ -1146,52 +1146,171 @@ struct ChunkDeflater {
   // static-tree tables, and match interiors are never inserted. Trades a
   // little ratio for ~2x+ speed over the bit-exact level-1 engine; NOT
   // oracle-identical output (opt-in via level == QUICK_LEVEL).
+  // dynamic block header from given freqs (trees built zlib-style);
+  // fills the caller's code tables
+  void quick_dyn_header(const uint32_t* llf, const uint32_t* df,
+                        uint8_t* lll, uint16_t* llc, uint8_t* dl,
+                        uint16_t* dc, bool bfinal) {
+    uint8_t bll[BL_CODES_N];
+    uint16_t blc[BL_CODES_N];
+    TreeBuild tb;
+    int l_max = tb.build(llf, L_CODES_N, STATIC_TREES.lll, RFC.len_extra,
+                         257, 15, lll, llc);
+    int d_max = tb.build(df, D_CODES_N, STATIC_TREES.dl, RFC.dist_extra, 0,
+                         15, dl, dc);
+    uint32_t blf[BL_CODES_N] = {0};
+    scan_tree_n(lll, l_max, blf);
+    scan_tree_n(dl, d_max, blf);
+    tb.build(blf, BL_CODES_N, nullptr, EXTRA_BL_N, 0, 7, bll, blc);
+    int max_blindex = BL_CODES_N - 1;
+    while (max_blindex >= 3 && bll[BL_ORDER_N[max_blindex]] == 0)
+      max_blindex--;
+    bw.put((2u << 1) + (bfinal ? 1 : 0), 3);
+    bw.put(l_max + 1 - 257, 5);
+    bw.put(d_max + 1 - 1, 5);
+    bw.put(max_blindex + 1 - 4, 4);
+    for (int i = 0; i <= max_blindex; i++) bw.put(bll[BL_ORDER_N[i]], 3);
+    send_tree_n(bw, lll, l_max, bll, blc);
+    send_tree_n(bw, dl, d_max, bll, blc);
+  }
+
   void run_quick(size_t total, bool last) {
-    // QUICK probes its own 4-byte Knuth-hash table (the reference quick
-    // mode's dedicated hash, hash_calc.rs StandardHashCalc role): far
-    // fewer collisions than the 3-byte rolling hash at a single-probe
-    // budget — measured both faster and smaller output
+    // QUICK (r5, ADAPTIVE): single 4-byte-hash probe per position, no
+    // lazy deferral, emission fused into the scan — but each 32 KiB
+    // segment is its own block whose Huffman trees come from the
+    // PREVIOUS segment's symbol histogram (+1 smoothing on every symbol
+    // so anything stays codable): near-dynamic entropy coding at
+    // one-pass speed. Segment 0 uses the static tables (nothing to adapt
+    // from), and any segment whose emission EXPANDED past its stored
+    // cost is rewound and re-emitted stored (zlib's whole-byte escape).
+    // r4's single static block measured 1.183x zlib-1 on the bench
+    // corpus, 13.8 points of which were pure static-tree entropy loss
+    // (measured: zlib-1's own parse under forced static trees is
+    // 1.138x); the reference quick class (quick.rs:12-158) accepts that
+    // loss — this trades ~6% scan speed to recover it.
     if (head4.empty()) {
       head4.assign(1 << 16, 0);
       prevd4.assign(WSIZE, 0);
     }
     if (dict_len >= 4)
       for (size_t i = 0; i + 4 <= dict_len; i++) insert4(i);
-    bw.put((1u << 1) + (last ? 1 : 0), 3);
+    constexpr size_t QSEG = 49152;
     size_t pos = dict_len;
+    if (pos >= total) {  // empty input: one empty static block
+      bw.put((1u << 1) + (last ? 1 : 0), 3);
+      bw.put64(STATIC_TREES.llc[256], STATIC_TREES.lll[256]);
+      return;
+    }
+    uint32_t llf_prev[L_CODES_N], df_prev[D_CODES_N];
+    bool have_prev = false;
+    bool final_emitted = false;
     while (pos < total) {
-      if (pos + 4 <= total) {
-        insert4(pos);
-        long cand = chain_prev4(pos);
-        if (cand > 0 && (long)pos - cand <= MAX_DIST_N) {
-          int ml = (pos + MAX_MATCH <= total)
-                       ? match_len_fast(base + pos, base + cand, MAX_MATCH)
-                       : match_len_z((size_t)cand, pos, total);
-          if (ml > (int)(total - pos)) ml = (int)(total - pos);  // lookahead
-          if (ml >= 4) {  // static-tree cost rule: reference quick emits >= WANT_MIN only
-            int dist = (int)((long)pos - cand);
-            int dcode = dist_to_code(dist);
-            uint64_t dfused =
-                (uint64_t)STATIC_TREES.dc[dcode] |
-                ((uint64_t)(dist - RFC.dist_base[dcode])
-                 << STATIC_TREES.dl[dcode]);
-            int dn = STATIC_TREES.dl[dcode] + RFC.dist_extra[dcode];
-            int v = ml - 3;
-            bw.put64((uint64_t)QUICK_TAB.ltab[v]
-                         | (dfused << QUICK_TAB.ltn[v]),
-                     QUICK_TAB.ltn[v] + dn);
-            pos += (size_t)ml;
-            continue;
+      size_t seg_start = pos;
+      size_t seg_end = std::min(pos + QSEG, total);
+      bool seg_last_possible = last && seg_end == total;
+      uint64_t sb = bw.buf;
+      int sc = bw.cnt;
+      size_t sw = bw.wpos;
+      uint8_t lll_a[L_CODES_N], dl_a[D_CODES_N];
+      uint16_t llc_a[L_CODES_N], dc_a[D_CODES_N];
+      const uint16_t *llc_c, *dc_c;
+      const uint8_t *lll_c, *dl_c;
+      if (have_prev) {
+        uint32_t llf_s[L_CODES_N], df_s[D_CODES_N];
+        for (int i = 0; i < L_CODES_N; i++) llf_s[i] = llf_prev[i] + 1;
+        for (int i = 0; i < D_CODES_N; i++) df_s[i] = df_prev[i] + 1;
+        quick_dyn_header(llf_s, df_s, lll_a, llc_a, dl_a, dc_a,
+                         seg_last_possible);
+        llc_c = llc_a; lll_c = lll_a; dc_c = dc_a; dl_c = dl_a;
+      } else {
+        bw.put((1u << 1) + (seg_last_possible ? 1 : 0), 3);
+        llc_c = STATIC_TREES.llc; lll_c = STATIC_TREES.lll;
+        dc_c = STATIC_TREES.dc; dl_c = STATIC_TREES.dl;
+      }
+      // per-segment fused length table (emit_symbols' fusion idea)
+      uint32_t ltab[256];
+      uint8_t ltn[256];
+      for (int v = 0; v < 256; v++) {
+        int lc2 = RFC.len_code[v];
+        int sym = 257 + lc2;
+        ltab[v] = (uint32_t)llc_c[sym] |
+                  ((uint32_t)(v + 3 - RFC.len_base[lc2]) << lll_c[sym]);
+        ltn[v] = (uint8_t)(lll_c[sym] + RFC.len_extra[lc2]);
+      }
+      uint32_t llf_cur[L_CODES_N] = {0};
+      uint32_t df_cur[D_CODES_N] = {0};
+      while (pos < seg_end) {
+        if (pos + 4 <= total) {
+          insert4(pos);
+          long cand = chain_prev4(pos);
+          if (cand > 0 && (long)pos - cand <= MAX_DIST_N) {
+            int ml = (pos + MAX_MATCH <= total)
+                         ? match_len_fast(base + pos, base + cand, MAX_MATCH)
+                         : match_len_z((size_t)cand, pos, total);
+            if (ml > (int)(total - pos)) ml = (int)(total - pos);
+            if (ml >= 4) {  // static-tree cost rule (reference quick WANT_MIN)
+              int dist = (int)((long)pos - cand);
+              int dcode = dist_to_code(dist);
+              uint64_t dfused =
+                  (uint64_t)dc_c[dcode] |
+                  ((uint64_t)(dist - RFC.dist_base[dcode]) << dl_c[dcode]);
+              int dn = dl_c[dcode] + RFC.dist_extra[dcode];
+              int v = ml - 3;
+              bw.put64((uint64_t)ltab[v] | (dfused << ltn[v]), ltn[v] + dn);
+              llf_cur[257 + RFC.len_code[v]]++;
+              df_cur[dcode]++;
+              pos += (size_t)ml;
+              continue;
+            }
           }
         }
+        uint8_t c = base[pos];
+        bw.put64(llc_c[c], lll_c[c]);
+        llf_cur[c]++;
+        pos++;
       }
-      uint8_t c = base[pos];
-      bw.put64(STATIC_TREES.llc[c], STATIC_TREES.lll[c]);
-      pos++;
+      bw.put64(llc_c[256], lll_c[256]);  // EOB
+      llf_cur[256]++;
+      // whole-byte cost rule: rewind to stored when the block expanded
+      size_t seg_bytes = pos - seg_start;  // a match may overshoot seg_end
+      size_t bits_used =
+          (bw.wpos * 8 + (size_t)bw.cnt) - (sw * 8 + (size_t)sc);
+      size_t nstored = (seg_bytes + 65534) / 65535;
+      size_t stored_bits = 7 + nstored * 40 + seg_bytes * 8;
+      bool is_seg_last = last && pos >= total;
+      if (bits_used <= stored_bits) {
+        final_emitted |= seg_last_possible;
+      } else {
+        bw.buf = sb;
+        bw.cnt = sc;
+        bw.wpos = sw;
+        size_t p = seg_start;
+        while (p < pos) {
+          size_t take = std::min(pos - p, (size_t)65535);
+          bool lb = is_seg_last && p + take == pos;
+          bw.put(lb ? 1u : 0u, 3);  // BFINAL, BTYPE=00
+          bw.align();
+          bw.byte((uint8_t)(take & 0xFF));
+          bw.byte((uint8_t)(take >> 8));
+          bw.byte((uint8_t)(~take & 0xFF));
+          bw.byte((uint8_t)((~take >> 8) & 0xFF));
+          bw.bytes(base + p, take);
+          p += take;
+          final_emitted |= lb;
+        }
+      }
+      std::memcpy(llf_prev, llf_cur, sizeof(llf_prev));
+      std::memcpy(df_prev, df_cur, sizeof(df_prev));
+      have_prev = true;
     }
-    bw.put64(STATIC_TREES.llc[256], STATIC_TREES.lll[256]);  // EOB
+    if (last && !final_emitted) {
+      // a match overshot its segment end to the end of input after the
+      // block header had already committed BFINAL=0: close the stream
+      // with an empty final static block
+      bw.put((1u << 1) + 1u, 3);
+      bw.put64(STATIC_TREES.llc[256], STATIC_TREES.lll[256]);
+    }
   }
-
   void run(bool final_flag) {
     size_t total = dict_len + n;
 

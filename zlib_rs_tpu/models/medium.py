@@ -259,6 +259,25 @@ from ..ops import huffman as _H
 
 
 def compress_quick(data: bytes, final: bool = True) -> bytes:
+    """Host mirror of the native ADAPTIVE QUICK mode (r5): single 4-byte-
+    hash probe per position, each ~48 KiB segment its own block whose
+    trees come from the PREVIOUS segment's histogram (+1 smoothing on
+    every symbol), segment 0 static, expanded segments rewound to stored.
+    Byte-identical to native run_quick (tests/test_medium.py)."""
+    import numpy as np
+
+    from .trees import (
+        _TreeBuild,
+        _scan_tree,
+        _send_tree,
+        BL_ORDER,
+        EXTRA_BLBITS,
+        EXTRA_DBITS,
+        EXTRA_LBITS,
+        LITERALS,
+    )
+    from ..config import BL_CODES, D_CODES, L_CODES, MAX_BITS, MAX_BL_BITS
+
     data = bytes(data)
     total = len(data)
     out = bytearray()
@@ -270,53 +289,140 @@ def compress_quick(data: bytes, final: bool = True) -> bytes:
         v = int.from_bytes(data[pos : pos + 4], "little")
         return ((v * 2654435761) & 0xFFFFFFFF) >> 16
 
-    bw.send_bits((1 << 1) + (1 if final else 0), 3)
+    def close(final_flag):
+        if final_flag:
+            bw.align()
+        else:
+            # sync seam: empty stored block, byte aligned
+            bw.send_bits(0, 3)
+            bw.align()
+            out.extend(b"\x00\x00\xff\xff")
+        return bytes(out)
+
+    QSEG = 49152
+    if total == 0:
+        bw.send_bits((1 << 1) + (1 if final else 0), 3)
+        bw.send_bits(int(STATIC_LL_CODE[256]), int(STATIC_LL_LEN[256]))
+        return close(final)
+
+    llf_prev = None
+    df_prev = None
+    final_emitted = False
     pos = 0
     while pos < total:
-        if pos + 4 <= total:
-            h = hash4(pos)
-            delta = pos - head4[h]
-            prevd4[pos & (WSIZE - 1)] = min(delta, 0xFFFF)
-            head4[h] = pos
-            d = prevd4[pos & (WSIZE - 1)]
-            cand = pos - d if d else 0
-            if cand > 0 and pos - cand <= MAX_DIST:
-                ml = 0
-                while ml < MAX_MATCH:
-                    a = data[pos + ml] if pos + ml < total else 0
-                    b = data[cand + ml] if cand + ml < total else 0
-                    if a != b:
-                        break
-                    ml += 1
-                ml = min(ml, total - pos)
-                if ml >= 4:
-                    dist = pos - cand
-                    lc = int(_H.LENGTH_CODE[ml - MIN_MATCH])
-                    sym = 257 + lc
-                    bw.send_bits(int(STATIC_LL_CODE[sym]), int(STATIC_LL_LEN[sym]))
-                    lbase = int(_H.LENGTH_BASE[lc])
-                    lext = int(_H.LENGTH_EXTRA[lc])
-                    if lext:
-                        bw.send_bits(ml - lbase, lext)
-                    dd = dist - 1
-                    dc = int(
-                        _H.DIST_CODE[dd] if dd < 256 else _H.DIST_CODE[256 + (dd >> 7)]
+        seg_start = pos
+        seg_end = min(pos + QSEG, total)
+        seg_last_possible = final and seg_end == total
+        snap_len, snap_buf, snap_cnt = len(out), bw.bitbuf, bw.bitcnt
+        if llf_prev is not None:
+            llf_s = llf_prev + 1
+            df_s = df_prev + 1
+            tb = _TreeBuild()
+            lll, llc, l_max = tb.build_tree(
+                llf_s, L_CODES, STATIC_LL_LEN, EXTRA_LBITS, LITERALS + 1,
+                MAX_BITS,
+            )
+            dl, dcod, d_max = tb.build_tree(
+                df_s, D_CODES, STATIC_D_LEN, EXTRA_DBITS, 0, MAX_BITS
+            )
+            bl_freq = np.zeros(BL_CODES, np.int64)
+            _scan_tree(lll, l_max, bl_freq)
+            _scan_tree(dl, d_max, bl_freq)
+            bl_len, bl_code, _ = tb.build_tree(
+                bl_freq, BL_CODES, None, EXTRA_BLBITS, 0, MAX_BL_BITS
+            )
+            max_blindex = BL_CODES - 1
+            while max_blindex >= 3 and bl_len[BL_ORDER[max_blindex]] == 0:
+                max_blindex -= 1
+            bw.send_bits((2 << 1) + (1 if seg_last_possible else 0), 3)
+            bw.send_bits(l_max + 1 - 257, 5)
+            bw.send_bits(d_max + 1 - 1, 5)
+            bw.send_bits(max_blindex + 1 - 4, 4)
+            for i in range(max_blindex + 1):
+                bw.send_bits(int(bl_len[BL_ORDER[i]]), 3)
+            _send_tree(bw, lll, l_max, bl_len, bl_code)
+            _send_tree(bw, dl, d_max, bl_len, bl_code)
+        else:
+            bw.send_bits((1 << 1) + (1 if seg_last_possible else 0), 3)
+            lll, llc = STATIC_LL_LEN, STATIC_LL_CODE
+            dl, dcod = STATIC_D_LEN, STATIC_D_CODE
+        llf_cur = np.zeros(L_CODES, np.int64)
+        df_cur = np.zeros(D_CODES, np.int64)
+        while pos < seg_end:
+            if pos + 4 <= total:
+                h = hash4(pos)
+                delta = pos - head4[h]
+                prevd4[pos & (WSIZE - 1)] = min(delta, 0xFFFF)
+                head4[h] = pos
+                d = prevd4[pos & (WSIZE - 1)]
+                cand = pos - d if d else 0
+                if cand > 0 and pos - cand <= MAX_DIST:
+                    ml = 0
+                    while ml < MAX_MATCH:
+                        a = data[pos + ml] if pos + ml < total else 0
+                        b = data[cand + ml] if cand + ml < total else 0
+                        if a != b:
+                            break
+                        ml += 1
+                    ml = min(ml, total - pos)
+                    if ml >= 4:
+                        dist = pos - cand
+                        lc = int(_H.LENGTH_CODE[ml - MIN_MATCH])
+                        sym = 257 + lc
+                        bw.send_bits(int(llc[sym]), int(lll[sym]))
+                        lbase = int(_H.LENGTH_BASE[lc])
+                        lext = int(_H.LENGTH_EXTRA[lc])
+                        if lext:
+                            bw.send_bits(ml - lbase, lext)
+                        dd = dist - 1
+                        dc = int(
+                            _H.DIST_CODE[dd]
+                            if dd < 256
+                            else _H.DIST_CODE[256 + (dd >> 7)]
+                        )
+                        bw.send_bits(int(dcod[dc]), int(dl[dc]))
+                        dext = int(_H.DIST_EXTRA[dc])
+                        if dext:
+                            bw.send_bits(dist - int(_H.DIST_BASE[dc]), dext)
+                        llf_cur[sym] += 1
+                        df_cur[dc] += 1
+                        pos += ml
+                        continue
+            c = data[pos]
+            bw.send_bits(int(llc[c]), int(lll[c]))
+            llf_cur[c] += 1
+            pos += 1
+        bw.send_bits(int(llc[256]), int(lll[256]))  # EOB
+        llf_cur[256] += 1
+        seg_bytes = pos - seg_start
+        bits_used = (len(out) * 8 + bw.bitcnt) - (snap_len * 8 + snap_cnt)
+        nstored = (seg_bytes + 65534) // 65535
+        stored_bits = 7 + nstored * 40 + seg_bytes * 8
+        is_seg_last = final and pos >= total
+        if bits_used <= stored_bits:
+            final_emitted |= seg_last_possible
+        else:
+            del out[snap_len:]
+            bw.bitbuf = snap_buf
+            bw.bitcnt = snap_cnt
+            p = seg_start
+            while p < pos:
+                take = min(pos - p, 65535)
+                lb = is_seg_last and p + take == pos
+                bw.send_bits(1 if lb else 0, 3)
+                bw.align()
+                out.extend(
+                    bytes(
+                        [take & 0xFF, take >> 8,
+                         (~take) & 0xFF, ((~take) >> 8) & 0xFF]
                     )
-                    bw.send_bits(int(STATIC_D_CODE[dc]), int(STATIC_D_LEN[dc]))
-                    dext = int(_H.DIST_EXTRA[dc])
-                    if dext:
-                        bw.send_bits(dist - int(_H.DIST_BASE[dc]), dext)
-                    pos += ml
-                    continue
-        c = data[pos]
-        bw.send_bits(int(STATIC_LL_CODE[c]), int(STATIC_LL_LEN[c]))
-        pos += 1
-    bw.send_bits(int(STATIC_LL_CODE[256]), int(STATIC_LL_LEN[256]))
-    if final:
-        bw.align()
-    else:
-        # sync seam: empty stored block, byte aligned
-        bw.send_bits(0, 3)
-        bw.align()
-        out.extend(b"\x00\x00\xff\xff")
-    return bytes(out)
+                )
+                out.extend(data[p : p + take])
+                p += take
+                final_emitted |= lb
+        llf_prev = llf_cur
+        df_prev = df_cur
+    if final and not final_emitted:
+        bw.send_bits((1 << 1) + 1, 3)
+        bw.send_bits(int(STATIC_LL_CODE[256]), int(STATIC_LL_LEN[256]))
+    return close(final)
