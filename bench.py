@@ -1072,10 +1072,6 @@ def main():
             state["native"] = bench_native(data, zstreams)
         _log(f"native: {state['native']}")
         snapshot()
-        with _phase("decode_sweep"):
-            state["sweep"] = bench_decode_sweep(data)
-        _log(f"host streaming decode sweep (MB/s): {state['sweep']}")
-        snapshot()
 
         # wait (briefly) for the seed child so the device phases have input
         if seed_proc is not None:
@@ -1099,7 +1095,8 @@ def main():
             )
         snapshot()
 
-        # collect the concurrent CPU ratio child
+        # collect the concurrent CPU ratio child BEFORE the sweep so its
+        # CPU-pinned work cannot contend with the sweep timings
         if ratio_proc is not None:
             try:
                 out_txt, _ = ratio_proc.communicate(timeout=max(1, min(300, remaining())))
@@ -1110,6 +1107,17 @@ def main():
             except subprocess.TimeoutExpired:
                 ratio_proc.kill()
                 _log("cpu ratio child timed out")
+            ratio_proc = None
+
+        # decode sweep LAST: the concurrent ratio/seed children are
+        # CPU-pinned and depressed the 2^19/2^21 sweep rows 4x in r4/r5
+        # runs (the "reproducible dips" were self-contention, not a
+        # buffer pathology — the same sweep in an idle process is
+        # monotone 160-190 MB/s)
+        with _phase("decode_sweep"):
+            state["sweep"] = bench_decode_sweep(data)
+        _log(f"host streaming decode sweep (MB/s): {state['sweep']}")
+        snapshot()
     except Exception as e:
         _log(f"bench main failed: {type(e).__name__}: {e}")
     finally:
