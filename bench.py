@@ -937,10 +937,14 @@ def _compact_result(result, device):
     tail window can never truncate its head. The full result dict is
     printed on the line above it at every snapshot."""
     native = result.get("native") or {}
+    src_tag = result.get("value_source", "")
+    if result.get("device_unreachable"):
+        src_tag = "DEVICE UNREACHABLE (tunnel outage): value is not a measurement"
     compact = {
         "metric": result["metric"],
         "value": result["value"],
         "unit": result["unit"],
+        "value_source": src_tag[:80],
         "vs_baseline": result.get("vs_baseline"),
         "kernel_ratio": result.get("ratio_vs_zlib"),
         "vector_decode_gbps": device.get("vector_decode_trace_gbps"),
