@@ -132,3 +132,31 @@ def test_cascade_tables_decode_known_code():
     off, base15 = pk >> 16, pk & 0xFFFF
     idx = off + ((v15 - base15) >> (15 - ln))
     assert (int(ll_work[idx]) & 0xFFFFF) == 2  # payload == symbol 2
+
+
+def test_vector_twoplane_matches_singleplane(monkeypatch):
+    """The r5 two-plane engine (<=3 lits + paired match or 4 lits per tape
+    row, 128-bit window) must decode byte-identically to the single-plane
+    engine under the same exactness contract."""
+    data = _mixed_corpus(260_000) + b"\x05" * 4000 + _mixed_corpus(50_000)
+    _out, idx, seeded, bodies, out_sizes, seeds = _seeded_chunks(data)
+    assert seeded
+    monkeypatch.delenv("ZRS_VECTOR_TWOPLANE", raising=False)
+    base = vector_inflate.decode_chunks_vector(bodies, out_sizes, seeds)
+    monkeypatch.setenv("ZRS_VECTOR_TWOPLANE", "1")
+    two = vector_inflate.decode_chunks_vector(bodies, out_sizes, seeds)
+    assert len(base) == len(two)
+    for a, b in zip(base, two):
+        assert a == b
+
+
+def test_vector_twoplane_corrupt_raises(monkeypatch):
+    data = _mixed_corpus(200_000)
+    _out, idx, seeded, bodies, out_sizes, seeds = _seeded_chunks(data)
+    monkeypatch.setenv("ZRS_VECTOR_TWOPLANE", "1")
+    bad = bytearray(bodies[0])
+    bad[len(bad) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        vector_inflate.decode_chunks_vector(
+            [bytes(bad)] + list(bodies[1:]), out_sizes, seeds
+        )

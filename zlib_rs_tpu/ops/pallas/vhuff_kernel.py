@@ -747,3 +747,446 @@ def decode_tokens_vector(
         interpret=interpret,
     )(fifo, ll_lim, ll_pack, w0, w1, w2, d_lim, d_pack, dw, align, span)
     return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# two-plane variant (r5): pair <=3 literals + the following match (or 4
+# literals, or a lone match) into ONE tape row — chip-counted on the 8 MiB
+# corpus this cuts rows 1.85M -> ~1.1M, and the expansion kernel loses its
+# literal-sprint inner loop entirely (one flat body per row). Needs a
+# 128-bit bit window: the worst row is 3x15 lit bits + a 48-bit match = 93
+# bits, so refill keeps bitcnt >= 93 (4 u32 registers). Gated behind
+# ZRS_VECTOR_TWOPLANE until chip-measured; byte-exactness is asserted by
+# the same drain/seam/checksum contract either way.
+# ---------------------------------------------------------------------------
+
+# plane-B layout: [cnt:3][has_match:1][len-3:8][dist:16]; an all-zero row
+# is the tape terminator (a real row always has cnt >= 1 or has_match)
+
+
+def _make_kernel2(cap: int, K: int):
+    u32 = jnp.uint32
+
+    def kernel(
+        fifo_ref, ll_lim_ref, ll_pack_ref, w0_ref, w1_ref, w2_ref,
+        d_lim_ref, d_pack_ref, dw_ref, align_ref, span_ref,
+        tapeA_ref, tapeB_ref, cons_ref, bad_ref, rem_ref,
+    ):
+        fifo = fifo_ref[:]
+        ll_lim = ll_lim_ref[:]
+        ll_pack = ll_pack_ref[:]
+        w0 = w0_ref[:]
+        w1 = w1_ref[:]
+        w2 = w2_ref[:]
+        d_lim = d_lim_ref[:]
+        d_pack = d_pack_ref[:]
+        dw = dw_ref[:]
+        align = align_ref[:]
+        span = span_ref[:]
+
+        kio = lax.broadcasted_iota(jnp.int32, (K, 8, 128), 0)
+        ll_cols = _broadcast_cols(ll_lim)
+        d_cols = _broadcast_cols(d_lim)
+
+        def fetch(widx):
+            sel = jnp.where(kio == widx[None], fifo, 0)
+            return jnp.sum(sel, axis=0).astype(u32)
+
+        def refill(win, widx, active):
+            """128-bit window (lo, mid, hi, h3) + bitcnt: insert one word
+            for lanes with bitcnt <= 92; three calls restore the >= 93
+            invariant (the worst row consumes 93 bits)."""
+            lo, mid, hi, h3, bitcnt = win
+            need = active & (bitcnt <= 92)
+            word = fetch(widx)
+
+            def ins(reg, base):
+                off = bitcnt - base
+                lo_sh = jnp.clip(off, 0, 31).astype(u32)
+                contrib = jnp.where(
+                    (off >= 0) & (off < 32), word << lo_sh, u32(0)
+                )
+                hi_sh = jnp.clip(base - bitcnt, 1, 32)
+                contrib = contrib | jnp.where(
+                    (off < 0) & (off > -32),
+                    (word >> 1) >> (hi_sh - 1).astype(u32),
+                    u32(0),
+                )
+                return jnp.where(need, reg | contrib, reg)
+
+            lo = ins(lo, 0)
+            mid = ins(mid, 32)
+            hi = ins(hi, 64)
+            h3 = ins(h3, 96)
+            bitcnt = jnp.where(need, bitcnt + 32, bitcnt)
+            widx = jnp.where(need, jnp.minimum(widx + 1, K - 1), widx)
+            return (lo, mid, hi, h3, bitcnt), widx
+
+        def peek(win, s):
+            """32-bit view starting at bit s (s <= 95)."""
+            lo, mid, hi, h3, _ = win
+
+            def pair(a, b, sh):
+                shc = jnp.clip(sh, 0, 31).astype(u32)
+                return (a >> shc) | jnp.where(
+                    sh > 0, (b << 1) << (31 - shc), u32(0)
+                )
+
+            v0 = pair(lo, mid, s)
+            v1 = pair(mid, hi, s - 32)
+            v1 = jnp.where(s == 32, mid, v1)
+            v2 = pair(hi, h3, s - 64)
+            v2 = jnp.where(s == 64, hi, v2)
+            return jnp.where(s < 32, v0, jnp.where(s < 64, v1, v2))
+
+        def consume(win, n):
+            """Drop n bits (0 <= n <= 95)."""
+            lo, mid, hi, h3, bitcnt = win
+            big2 = n >= 64
+            lo = jnp.where(big2, hi, lo)
+            mid = jnp.where(big2, h3, mid)
+            hi = jnp.where(big2, u32(0), hi)
+            h3 = jnp.where(big2, u32(0), h3)
+            n1 = jnp.where(big2, n - 64, n)
+            big = n1 >= 32
+            lo = jnp.where(big, mid, lo)
+            mid = jnp.where(big, hi, mid)
+            hi = jnp.where(big, h3, hi)
+            h3 = jnp.where(big, u32(0), h3)
+            m = jnp.where(big, n1 - 32, n1).astype(u32)
+            inv = u32(31) - m
+            lo = (lo >> m) | ((mid << 1) << inv)
+            mid = (mid >> m) | ((hi << 1) << inv)
+            hi = (hi >> m) | ((h3 << 1) << inv)
+            h3 = h3 >> m
+            return (lo, mid, hi, h3, bitcnt - n)
+
+        def litlen_at(win, s):
+            v15i = _rev15(peek(win, s) & u32(0x7FFF)).astype(jnp.int32)
+            ln = _cascade_len(ll_cols, v15i)
+            pk = _lane_gather(ll_pack, ln)
+            idx = (pk >> 16) + lax.shift_right_logical(
+                v15i - (pk & 0xFFFF), 15 - ln
+            )
+            e = _work_lookup(w0, w1, w2, jnp.clip(idx, 0, 383))
+            return e, ln
+
+        def dist_at(win, s):
+            v15i = _rev15(peek(win, s) & u32(0x7FFF)).astype(jnp.int32)
+            ln = _cascade_len(d_cols, v15i)
+            pk = _lane_gather(d_pack, ln)
+            idx = (pk >> 16) + lax.shift_right_logical(
+                v15i - (pk & 0xFFFF), 15 - ln
+            )
+            e = _lane_gather(dw, jnp.clip(idx, 0, 127))
+            return e, ln
+
+        zero = jnp.zeros((8, 128), jnp.int32)
+        zu = jnp.zeros((8, 128), u32)
+        live0 = span > 0
+        win0 = (zu, zu, zu, zu, zero)
+        wi0 = zero
+        for _ in range(4):
+            win0, wi0 = refill(win0, wi0, live0)
+        win0 = consume(win0, jnp.where(live0, align, 0))
+
+        def sel4(c, a, b, cc, d):
+            return jnp.where(
+                c == 0, a, jnp.where(c == 1, b, jnp.where(c == 2, cc, d))
+            )
+
+        def body(carry):
+            (it, _alive, lo, mid, hi, h3, bitcnt, widx, remaining, cons,
+             badi) = carry
+            win = (lo, mid, hi, h3, bitcnt)
+            bad = badi != 0
+            active = (remaining > 0) & ~bad
+            win, widx = refill(win, widx, active)
+            win, widx = refill(win, widx, active)
+            win, widx = refill(win, widx, active)
+
+            e1, l1 = litlen_at(win, zero)
+            k1 = e1 >> 28
+            lit1 = k1 == KIND_LIT
+            e2, l2 = litlen_at(win, l1)
+            lit2 = lit1 & ((e2 >> 28) == KIND_LIT) & (remaining >= 2)
+            e3, l3 = litlen_at(win, l1 + l2)
+            lit3 = lit2 & ((e3 >> 28) == KIND_LIT) & (remaining >= 3)
+            e4, l4 = litlen_at(win, l1 + l2 + l3)
+            lit4 = lit3 & ((e4 >> 28) == KIND_LIT) & (remaining >= 4)
+            cnt = (
+                lit1.astype(jnp.int32) + lit2.astype(jnp.int32)
+                + lit3.astype(jnp.int32) + lit4.astype(jnp.int32)
+            )
+            litreg = (
+                jnp.where(lit1, e1 & 0xFF, 0)
+                | jnp.where(lit2, (e2 & 0xFF) << 8, 0)
+                | jnp.where(lit3, (e3 & 0xFF) << 16, 0)
+                | jnp.where(lit4, (e4 & 0xFF) << 24, 0)
+            )
+            lbits = (
+                jnp.where(lit1, l1, 0) + jnp.where(lit2, l2, 0)
+                + jnp.where(lit3, l3, 0) + jnp.where(lit4, l4, 0)
+            )
+
+            # match candidate: the first non-literal code (only when fewer
+            # than 4 literals were taken; a 4-literal row carries no match)
+            cand_e = sel4(cnt, e1, e2, e3, e4)
+            cand_l = sel4(cnt, l1, l2, l3, l4)
+            cand_off = sel4(
+                cnt, zero, l1, l1 + l2, l1 + l2 + l3
+            )
+            ck = cand_e >> 28
+            is_len = ck == KIND_MATCH
+            want_m = is_len & (cnt < 4) & (remaining > cnt)
+            x1 = (cand_e >> 20) & 0xF
+            pay1 = cand_e & 0xFFFFF
+            xv1 = (
+                peek(win, cand_off + cand_l)
+                & ((u32(1) << x1.astype(u32)) - u32(1))
+            ).astype(jnp.int32)
+            length = pay1 + xv1
+            s_d = cand_off + cand_l + x1
+            ed, ld = dist_at(win, s_d)
+            dkind = ed >> 28
+            dx = (ed >> 20) & 0xF
+            dpay = ed & 0xFFFFF
+            dxv = (
+                peek(win, s_d + ld) & ((u32(1) << dx.astype(u32)) - u32(1))
+            ).astype(jnp.int32)
+            dist = dpay + dxv
+            is_match = want_m & (dkind == KIND_MATCH)
+
+            # bad: e1 invalid/EOB when no literal was taken; a wanted
+            # match whose dist code is broken; cover overshooting the span
+            bad_now = active & (
+                ((cnt == 0) & ~is_len)
+                | (want_m & (dkind != KIND_MATCH))
+            )
+            cover = cnt + jnp.where(is_match, length, 0)
+            bad_now = bad_now | (active & (cover > remaining))
+
+            step = active & ~bad_now
+            emit = step & (cover > 0)
+            tokB = jnp.where(
+                emit,
+                cnt.astype(u32)
+                | jnp.where(
+                    is_match,
+                    u32(8)
+                    | ((length - 3).astype(u32) << 4)
+                    | (dist.astype(u32) << 12),
+                    u32(0),
+                ),
+                u32(0),
+            )
+            tapeA_ref[pl.ds(it, 1)] = jnp.where(
+                emit, litreg.astype(u32), u32(0)
+            )[None]
+            tapeB_ref[pl.ds(it, 1)] = tokB[None]
+
+            n = jnp.where(
+                step,
+                lbits
+                + jnp.where(is_match, cand_l + x1 + ld + dx, 0),
+                0,
+            )
+            win = consume(win, n)
+            cons = cons + n
+            remaining = remaining - jnp.where(step, cover, 0)
+            badi = badi | bad_now.astype(jnp.int32)
+            alive = jnp.any((remaining > 0) & (badi == 0)).astype(jnp.int32)
+            lo, mid, hi, h3, bitcnt = win
+            return (it + 1, alive, lo, mid, hi, h3, bitcnt, widx,
+                    remaining, cons, badi)
+
+        def cond(carry):
+            it, alive = carry[0], carry[1]
+            return (it < cap) & (alive != 0)
+
+        lo0, mid0, hi0, h30, bc0 = win0
+        init = (
+            jnp.int32(0), jnp.any(live0).astype(jnp.int32), lo0, mid0, hi0,
+            h30, bc0, wi0, jnp.where(live0, span, 0), zero,
+            jnp.zeros((8, 128), jnp.int32),
+        )
+        (it, _alive, _lo, _mid, _hi, _h3, _bc, _wi, remaining, cons,
+         badi) = lax.while_loop(cond, body, init)
+
+        def clear(i, _):
+            tapeA_ref[pl.ds(i, 1)] = jnp.zeros((1, 8, 128), u32)
+            tapeB_ref[pl.ds(i, 1)] = jnp.zeros((1, 8, 128), u32)
+            return 0
+
+        lax.fori_loop(it, cap, clear, 0)
+        cons_ref[:] = cons
+        bad_ref[:] = badi
+        rem_ref[:] = remaining
+
+    return kernel
+
+
+def _make_expand_kernel2(S_BLK: int, capw: int, OW: int):
+    """Two-plane expansion: ONE flat body per tape row (<=4-byte literal
+    funnel store + branchless copy_match) — the single-plane kernel's
+    literal-sprint inner loop is gone, and with it its per-literal-token
+    iteration cost. Same window/output discipline as _make_expand_kernel.
+    """
+    u32 = jnp.uint32
+
+    def kernel(tapeA_ref, tapeB_ref, offs_ref, out_ref):
+        w_blk = pl.program_id(1)
+
+        def byte_read(p):
+            wd = out_ref[0, 0, p >> 2]
+            return (wd >> ((p & 3).astype(u32) * 8)) & u32(0xFF)
+
+        def byte_write(p, b):
+            wi = p >> 2
+            sh = ((p & 3).astype(u32)) * 8
+            wd = out_ref[0, 0, wi]
+            out_ref[0, 0, wi] = (wd & ~(u32(0xFF) << sh)) | (
+                (b & u32(0xFF)) << sh
+            )
+
+        def src4(p, dist):
+            sp = p - dist
+            swi = sp >> 2
+            sh = ((sp & 3).astype(u32)) * 8
+            w0 = out_ref[0, 0, swi]
+            w1 = out_ref[0, 0, swi + 1]
+            return jnp.where(sh > 0, (w0 >> sh) | (w1 << (u32(32) - sh)), w0)
+
+        def copy_match(p, length, dist):
+            # identical scheme to _make_expand_kernel.copy_match
+            d4 = jnp.where(dist >= 4, dist, jnp.where(dist == 3, 6, 4))
+            base = jnp.where(dist >= 4, 0, d4 - dist)
+
+            def hb(i, _):
+                byte_write(p + i, byte_read(jnp.maximum(p + i - dist, 0)))
+                return 0
+
+            lax.fori_loop(0, base, hb, 0)
+            pw = p + base
+            wi = pw >> 2
+            sh = ((pw & 3) << 3).astype(u32)
+            keep = out_ref[0, 0, wi] & ((u32(1) << sh) - u32(1))
+            out_ref[0, 0, wi] = keep | (src4(pw, d4) << sh)
+            last = (p + length - 1) >> 2
+            nw = last - wi
+
+            def wf(k, _):
+                q = (wi + 1 + k) << 2
+                out_ref[0, 0, wi + 1 + k] = src4(q, d4)
+                return 0
+
+            lax.fori_loop(0, nw, wf, 0)
+
+        def walker(k, _):
+            s = w_blk * S_BLK + k
+            p0 = offs_ref[0, 0, s]
+            p1 = offs_ref[0, 0, s + 1]
+
+            def cond(st):
+                t, p = st
+                return (t < capw) & (p < p1)
+
+            def body(st):
+                t, p = st
+                tokA = tapeA_ref[0, k, t]
+                tokB = tapeB_ref[0, k, t]
+                cnt = (tokB & u32(7)).astype(jnp.int32)
+                # literal funnel: up to 4 bytes, at most one word boundary
+                sh = ((p & 3) << 3).astype(u32)
+                reg = out_ref[0, 0, p >> 2] & ((u32(1) << sh) - u32(1))
+                full = reg | (tokA << sh)
+                spill = (tokA >> u32(1)) >> (u32(31) - sh)
+                p2 = p + cnt
+                out_ref[0, 0, p >> 2] = full
+                crossed = (p2 >> 2) > (p >> 2)
+                out_ref[0, 0, jnp.where(crossed, p2 >> 2, p >> 2)] = (
+                    jnp.where(crossed, spill, full)
+                )
+                has = (tokB & u32(8)) > 0
+                length = jnp.where(
+                    has, ((tokB >> 4) & u32(0xFF)).astype(jnp.int32) + 3, 0
+                )
+                dist = ((tokB >> 12) & u32(0xFFFF)).astype(jnp.int32)
+                copy_match(p2, length, dist)
+                # all-zero row = tape terminator (under-produced walkers
+                # are flagged upstream via rem != 0)
+                t2 = jnp.where(tokB != 0, t + 1, capw)
+                return (t2, p2 + length)
+
+            lax.while_loop(cond, body, (jnp.int32(0), p0))
+            return 0
+
+        lax.fori_loop(0, S_BLK, walker, 0)
+
+    return kernel
+
+
+def expand_tokens_pallas2(tapeA, tapeB, offs, *, S: int, cap: int,
+                          out_words: int, interpret: bool = False):
+    """Two-plane variant of expand_tokens_pallas."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = tapeA.shape[0]
+    S_BLK = 8
+    grid = (B, S // S_BLK)
+    offs3 = offs.reshape(B, 1, offs.shape[1])
+    tape_spec = pl.BlockSpec(
+        (1, S_BLK, cap), lambda c, w: (c, w, 0), memory_space=pltpu.SMEM
+    )
+    return pl.pallas_call(
+        _make_expand_kernel2(S_BLK, cap, out_words),
+        grid=grid,
+        in_specs=[
+            tape_spec,
+            tape_spec,
+            pl.BlockSpec(
+                (1, 1, offs.shape[1]), lambda c, w: (c, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, out_words), lambda c, w: (c, 0, 0), memory_space=pltpu.SMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 1, out_words), jnp.uint32),
+        interpret=interpret,
+    )(tapeA, tapeB, offs3).reshape(B, out_words)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "K", "interpret"))
+def decode_tokens_vector2(
+    fifo, ll_lim, ll_pack, w0, w1, w2, d_lim, d_pack, dw, align, span,
+    *, cap: int, K: int, interpret: bool = False,
+):
+    """Two-plane variant of decode_tokens_vector: returns
+    (tapeA, tapeB, cons, bad, rem)."""
+    G = fifo.shape[0]
+    grid = (G,)
+    t_spec = pl.BlockSpec((None, 8, 128), lambda g: (g, 0, 0))
+    out = pl.pallas_call(
+        _make_kernel2(cap, K),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, K, 8, 128), lambda g: (g, 0, 0, 0)),
+            t_spec, t_spec, t_spec, t_spec, t_spec,
+            t_spec, t_spec, t_spec, t_spec, t_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((None, cap, 8, 128), lambda g: (g, 0, 0, 0)),
+            pl.BlockSpec((None, cap, 8, 128), lambda g: (g, 0, 0, 0)),
+            t_spec, t_spec, t_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, cap, 8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((G, cap, 8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(fifo, ll_lim, ll_pack, w0, w1, w2, d_lim, d_pack, dw, align, span)
+    return tuple(out)

@@ -29,7 +29,9 @@ from ..ops.pallas.vhuff_kernel import (
     WALKERS_PER_STEP,
     build_cascade_tables_np,
     decode_tokens_vector,
+    decode_tokens_vector2,
     expand_tokens_pallas,
+    expand_tokens_pallas2,
 )
 from .swarm_inflate import parse_block_header
 
@@ -66,6 +68,22 @@ def _unpack_and_expand(tape, offs, *, B: int, S: int, cap: int,
 
     return expand_tokens_pallas(
         to_walker_major(tape), offs,
+        S=S, cap=cap, out_words=out_words, interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("B", "S", "cap", "out_words", "interpret"))
+def _unpack_and_expand2(tapeA, tapeB, offs, *, B: int, S: int, cap: int,
+                        out_words: int, interpret: bool):
+    """Two-plane variant (r5 engine)."""
+    G = tapeA.shape[0]
+
+    def to_walker_major(x):
+        x = x.transpose(0, 2, 3, 1).reshape(G * WALKERS_PER_STEP, cap)
+        return x[: B * S].reshape(B, S, cap)
+
+    return expand_tokens_pallas2(
+        to_walker_major(tapeA), to_walker_major(tapeB), offs,
         S=S, cap=cap, out_words=out_words, interpret=interpret,
     )
 
@@ -179,12 +197,37 @@ def prepare_vector_inputs(bodies, out_sizes, seeds):
     return dev, meta
 
 
-def _run(dev, meta, *, max_out: int, interpret: bool):
+def _twoplane_default() -> bool:
+    """The r5 paired-row engine: <=3 literals + the following match (or 4
+    literals) per tape row over a 128-bit bit window — chip-counted ~1.7x
+    fewer rows, and the expansion kernel loses its literal-sprint inner
+    loop. Gated while the chip measurement is outstanding (the tunnel was
+    down at land time); ZRS_VECTOR_TWOPLANE=1/0 overrides."""
+    import os
+
+    v = os.environ.get("ZRS_VECTOR_TWOPLANE")
+    return v == "1"
+
+
+def _run(dev, meta, *, max_out: int, interpret: bool, twoplane=None):
+    if twoplane is None:
+        twoplane = _twoplane_default()
+    out_words = -(-max_out // 4) + 2
+    if twoplane:
+        tapeA, tapeB, cons, bad, rem = decode_tokens_vector2(
+            dev["fifo"], *dev["tables"], dev["align"], dev["span"],
+            cap=meta["cap"], K=meta["K"], interpret=interpret,
+        )
+        outw = _unpack_and_expand2(
+            tapeA, tapeB, dev["offs"],
+            B=meta["B"], S=meta["S"], cap=meta["cap"], out_words=out_words,
+            interpret=interpret,
+        )
+        return outw, cons, bad, rem
     tape, cons, bad, rem = decode_tokens_vector(
         dev["fifo"], *dev["tables"], dev["align"], dev["span"],
         cap=meta["cap"], K=meta["K"], interpret=interpret,
     )
-    out_words = -(-max_out // 4) + 2
     outw = _unpack_and_expand(
         tape, dev["offs"],
         B=meta["B"], S=meta["S"], cap=meta["cap"], out_words=out_words,
@@ -244,14 +287,19 @@ def decode_chunks_vector(bodies, out_sizes, seeds, *, max_out=None,
     return parts
 
 
-def make_vector_dispatch(bodies, out_sizes, seeds, *, max_out=None):
+def make_vector_dispatch(bodies, out_sizes, seeds, *, max_out=None,
+                         twoplane=None):
     """Zero-arg dispatch closure over device-resident inputs (the shape
     bench.py traces: staging done once, each call re-runs the kernel +
     resolver program)."""
     max_out = max_out or max(out_sizes)
     dev, meta = prepare_vector_inputs(bodies, out_sizes, seeds)
+    if twoplane is None:
+        twoplane = _twoplane_default()
 
     def dispatch():
-        return _run(dev, meta, max_out=max_out, interpret=False)
+        return _run(
+            dev, meta, max_out=max_out, interpret=False, twoplane=twoplane
+        )
 
     return dispatch
