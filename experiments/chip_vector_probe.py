@@ -23,13 +23,9 @@ from zlib_rs_tpu.parallel import vector_inflate as VI  # noqa: E402
 def main(seed_pkl: str, tile_mb: int = 8):
     print("platform:", jax.devices()[0].platform, flush=True)
     blob = pickle.load(open(seed_pkl, "rb"))
-    seeded = [k for k, s in enumerate(blob["seeds"]) if s is not None]
-    bodies = [
-        blob["comp"][blob["index"][k][0] : blob["index"][k][0] + blob["index"][k][1]]
-        for k in seeded
-    ]
-    out_sizes = [blob["index"][k][2] for k in seeded]
-    seeds = [blob["seeds"][k] for k in seeded]
+    bodies = blob["bodies"]
+    out_sizes = blob["out_sizes"]
+    seeds = blob["seeds"]
     assert bodies, "no seeded chunks"
     tile = max(1, (tile_mb << 20) // max(1, sum(out_sizes)))
     bodies, out_sizes, seeds = bodies * tile, out_sizes * tile, seeds * tile

@@ -199,14 +199,29 @@ def prepare_vector_inputs(bodies, out_sizes, seeds):
 
 def _twoplane_default() -> bool:
     """The r5 paired-row engine: <=3 literals + the following match (or 4
-    literals) per tape row over a 128-bit bit window — chip-counted ~1.7x
-    fewer rows, and the expansion kernel loses its literal-sprint inner
-    loop. Gated while the chip measurement is outstanding (the tunnel was
-    down at land time); ZRS_VECTOR_TWOPLANE=1/0 overrides."""
+    literals) per tape row over a 128-bit bit window — chip-measured
+    byte-exact at 139.5 MB/s on the 8 MiB level-6 corpus vs 112 MB/s for
+    the single-plane tape (decode kernel 1.5 ms, expansion 38.9 ms per
+    dispatch), so it is the default. ZRS_VECTOR_TWOPLANE=0 reverts to the
+    single-plane engine."""
     import os
 
     v = os.environ.get("ZRS_VECTOR_TWOPLANE")
-    return v == "1"
+    return v != "0"
+
+
+def _twoplane_cap(meta) -> int:
+    """Row capacity for the paired-row tape: every mid-stream row covers
+    >= 3 output bytes (a lone match is >= 3; literals pair with the next
+    match or pack 4-wide), so span/3 rows + a small tail allowance (short
+    literal rows only appear as the span drains) suffices. Too-small cap
+    fails SAFE: the decode loop exits at it==cap with remaining > 0 and
+    rem != 0 trips the caller's fallback chain. Keeping cap tight is also
+    what fits the two double-buffered (cap, 8, 128) tape planes in scoped
+    VMEM — cap 1280 OOMed the chip at 22.35M vs the 16M limit."""
+    return min(
+        meta["cap"], int(_bucket(int(meta["sspan"].max()) // 3 + 40, 128))
+    )
 
 
 def _run(dev, meta, *, max_out: int, interpret: bool, twoplane=None):
@@ -214,13 +229,14 @@ def _run(dev, meta, *, max_out: int, interpret: bool, twoplane=None):
         twoplane = _twoplane_default()
     out_words = -(-max_out // 4) + 2
     if twoplane:
+        cap2 = _twoplane_cap(meta)
         tapeA, tapeB, cons, bad, rem = decode_tokens_vector2(
             dev["fifo"], *dev["tables"], dev["align"], dev["span"],
-            cap=meta["cap"], K=meta["K"], interpret=interpret,
+            cap=cap2, K=meta["K"], interpret=interpret,
         )
         outw = _unpack_and_expand2(
             tapeA, tapeB, dev["offs"],
-            B=meta["B"], S=meta["S"], cap=meta["cap"], out_words=out_words,
+            B=meta["B"], S=meta["S"], cap=cap2, out_words=out_words,
             interpret=interpret,
         )
         return outw, cons, bad, rem
