@@ -1066,7 +1066,13 @@ def _make_expand_kernel2(S_BLK: int, capw: int, OW: int):
                 byte_write(p + i, byte_read(jnp.maximum(p + i - dist, 0)))
                 return 0
 
-            lax.fori_loop(0, base, hb, 0)
+            # 4-literal rows reach here with length==0 and a garbage dist
+            # of 0 (tokB bits 12+ are clear), which maps to base==4: skip
+            # the four wasted head-byte trips on the matchless path. The
+            # word write below still lands at pw=p+4 (src reads stay >= 0)
+            # and only deposits don't-care bytes past the row's end, which
+            # later rows overwrite — same contract as the match path.
+            lax.fori_loop(0, jnp.where(length == 0, 0, base), hb, 0)
             pw = p + base
             wi = pw >> 2
             sh = ((pw & 3) << 3).astype(u32)
@@ -1075,12 +1081,30 @@ def _make_expand_kernel2(S_BLK: int, capw: int, OW: int):
             last = (p + length - 1) >> 2
             nw = last - wi
 
-            def wf(k, _):
-                q = (wi + 1 + k) << 2
-                out_ref[0, 0, wi + 1 + k] = src4(q, d4)
-                return 0
+            # word loop: the source advances by whole words, so the
+            # sub-word shift is loop-INVARIANT — hoist it — and trip k's
+            # low source word is trip k-1's high word, so carry it instead
+            # of reloading. The only hazard is d4==4 (source word == the
+            # word stored one trip earlier): there sh_s==0 and the copy
+            # degenerates to "repeat the stored word", so the carry is the
+            # stored value itself. Chip-NEUTRAL vs the reload form (171.9
+            # vs 171.6 MB/s — matches average ~1 trip/row, so the per-trip
+            # saving is ILP the scalar unit already hid); kept for the
+            # fewer issued loads on long-match corpora.
+            sp0 = ((wi + 1) << 2) - d4
+            swi0 = sp0 >> 2
+            sh_s = ((sp0 & 3) << 3).astype(u32)
+            rep4 = swi0 == wi  # d4 == 4: aligned previous-word repeat
 
-            lax.fori_loop(0, nw, wf, 0)
+            def wf(k, w0):
+                w1 = out_ref[0, 0, swi0 + k + 1]
+                val = (w0 >> sh_s) | jnp.where(
+                    sh_s > 0, (w1 << 1) << (u32(31) - sh_s), u32(0)
+                )
+                out_ref[0, 0, wi + 1 + k] = val
+                return jnp.where(rep4, val, w1)
+
+            lax.fori_loop(0, nw, wf, out_ref[0, 0, swi0])
 
         def walker(k, _):
             s = w_blk * S_BLK + k
