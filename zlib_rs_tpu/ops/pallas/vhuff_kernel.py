@@ -1136,7 +1136,14 @@ def _make_expand_kernel2(S_BLK: int, capw: int, OW: int):
                     has, ((tokB >> 4) & u32(0xFF)).astype(jnp.int32) + 3, 0
                 )
                 dist = ((tokB >> 12) & u32(0xFFFF)).astype(jnp.int32)
-                copy_match(p2, length, dist)
+
+                # scalar-unit sprint rule: pay the match machinery per
+                # MATCH, not per row — matchless (4-literal) rows dominate
+                # on literal-dense/binary data and were paying copy_match's
+                # whole word-write tail for nothing
+                @pl.when(has)
+                def _():
+                    copy_match(p2, length, dist)
                 # all-zero row = tape terminator (under-produced walkers
                 # are flagged upstream via rem != 0)
                 t2 = jnp.where(tokB != 0, t + 1, capw)
