@@ -643,8 +643,9 @@ def _phase_kernel_ratio(data, dev):
 def _phase_vector(seed_pkl, dev):
     """Lane-parallel vector decode (parallel/vector_inflate + the vhuff
     Pallas kernels): the headline device decode engine — VPU Huffman at
-    ~3 GB/s feeding the in-SMEM sprint expansion (builder-measured
-    112 MB/s/chip e2e on the 8 MiB corpus). Exactness is verified against
+    ~3 GB/s feeding the in-SMEM two-plane expansion (builder-measured
+    182 MB/s/chip on the seedable probe corpus, ~120 MB/s on this
+    literal-denser silesia-proxy corpus). Exactness is verified against
     the raw-deflate oracle BEFORE any timing lands in the JSON."""
     import pickle
     import zlib as _z
