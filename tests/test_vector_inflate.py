@@ -141,13 +141,40 @@ def test_vector_twoplane_matches_singleplane(monkeypatch):
     data = _mixed_corpus(260_000) + b"\x05" * 4000 + _mixed_corpus(50_000)
     _out, idx, seeded, bodies, out_sizes, seeds = _seeded_chunks(data)
     assert seeded
-    monkeypatch.delenv("ZRS_VECTOR_TWOPLANE", raising=False)
+    # two-plane became the DEFAULT once its chip numbers landed, so the
+    # single-plane baseline needs the explicit =0 (delenv would compare
+    # the engine against itself)
+    monkeypatch.setenv("ZRS_VECTOR_TWOPLANE", "0")
     base = vector_inflate.decode_chunks_vector(bodies, out_sizes, seeds)
     monkeypatch.setenv("ZRS_VECTOR_TWOPLANE", "1")
     two = vector_inflate.decode_chunks_vector(bodies, out_sizes, seeds)
     assert len(base) == len(two)
     for a, b in zip(base, two):
         assert a == b
+
+
+def test_twoplane_cap_shrinks_and_fails_safe(monkeypatch):
+    """The two-plane tape cap is ~span/3 (rows cover >= 3 bytes mid-
+    stream) — that shrink is what fits two double-buffered tape planes in
+    scoped VMEM on chip. An UNDERSIZED cap must surface as ValueError via
+    rem != 0 (walkers stop at it==cap with span left), never as wrong
+    bytes."""
+    data = _mixed_corpus(200_000)
+    _out, idx, seeded, bodies, out_sizes, seeds = _seeded_chunks(data)
+    _dev, meta = vector_inflate.prepare_vector_inputs(
+        bodies, out_sizes, seeds
+    )
+    cap2 = vector_inflate._twoplane_cap(meta)
+    assert cap2 <= meta["cap"]
+    assert cap2 >= int(meta["sspan"].max()) // 3
+    monkeypatch.setenv("ZRS_VECTOR_TWOPLANE", "1")
+    # force an undersized cap through the whole decode path
+    monkeypatch.setattr(
+        vector_inflate, "_twoplane_cap", lambda m: 128
+    )
+    if int(meta["sspan"].max()) > 3 * 128 + 16:
+        with pytest.raises(ValueError):
+            vector_inflate.decode_chunks_vector(bodies, out_sizes, seeds)
 
 
 def test_vector_twoplane_corrupt_raises(monkeypatch):
