@@ -42,6 +42,14 @@ VPU instead of translated):
 Exactness is checked exactly like the swarm engine: every walker must
 drain its span and land on the next seed's bit offset; any drift or
 invalid code flags the lane and the caller falls back to an exact engine.
+
+Round 5 added the TWO-PLANE variant (_make_kernel2/_make_expand_kernel2,
+now the default — see vector_inflate._twoplane_default): each tape row
+pairs <=3 literals with the FOLLOWING match (or 4 literals, or a lone
+match) over a 128-bit bit window (>=93-bit refill invariant), chip-
+measured ~1.7x fewer rows and 182 MB/s/chip vs 112 for this single-plane
+form. The single-plane kernel below is kept as the ZRS_VECTOR_TWOPLANE=0
+fallback and as the simpler reference for the shared machinery.
 """
 
 from __future__ import annotations
