@@ -200,10 +200,11 @@ def prepare_vector_inputs(bodies, out_sizes, seeds):
 def _twoplane_default() -> bool:
     """The r5 paired-row engine: <=3 literals + the following match (or 4
     literals) per tape row over a 128-bit bit window — chip-measured
-    byte-exact at 139.5 MB/s on the 8 MiB level-6 corpus vs 112 MB/s for
-    the single-plane tape (decode kernel 1.5 ms, expansion 38.9 ms per
-    dispatch), so it is the default. ZRS_VECTOR_TWOPLANE=0 reverts to the
-    single-plane engine."""
+    byte-exact at 182.1 MB/s on the 8 MiB level-6 probe corpus (vs 112
+    single-plane; decode kernel 1.5 ms, expansion 29.5 ms per dispatch)
+    and 0.11975 GB/s on the literal-denser silesia-proxy bench corpus
+    (vs 0.11186 single-plane), so it is the default.
+    ZRS_VECTOR_TWOPLANE=0 reverts to the single-plane engine."""
     import os
 
     v = os.environ.get("ZRS_VECTOR_TWOPLANE")
